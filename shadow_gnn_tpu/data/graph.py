@@ -1,0 +1,136 @@
+"""Core graph containers.
+
+``RawGraph`` is the host-side dataclass equivalent of the reference's
+``graph_engine/frontend/graph.py:13-64`` (RawGraph) but holds plain
+numpy CSR arrays (no scipy / torch dependency on the hot path).
+``DeviceGraph`` is the TPU-resident CSR: the graph engine of this
+framework.  Where the reference keeps the full graph in C++ RAM and
+samples with OpenMP threads (``ParallelSampler.h:19-61``), we keep
+``indptr`` / ``indices`` in HBM and sample with jitted gather programs
+(see ``shadow_gnn_tpu.sampling``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from shadow_gnn_tpu import TRAIN, VALID, TEST
+
+
+@dataclass
+class RawGraph:
+    """Host-side full graph in CSR form plus features / labels / splits.
+
+    ``adj_*`` are (indptr, indices) pairs; edge values are implicitly 1.0
+    everywhere (the reference also discards edge values on undirected
+    conversion, ``graph_utils.py:25-27``).
+    """
+
+    indptr_full: np.ndarray
+    indices_full: np.ndarray
+    indptr_train: Optional[np.ndarray]
+    indices_train: Optional[np.ndarray]
+    feat_full: Optional[np.ndarray]
+    label_full: Optional[np.ndarray]
+    node_set: Optional[Dict[int, np.ndarray]]       # {TRAIN/VALID/TEST: node idx}
+    edge_set: Optional[Dict[int, Dict[str, np.ndarray]]]  # link task: {'pos','neg'}
+
+    def __post_init__(self):
+        if self.feat_full is not None:
+            assert self.feat_full.shape[0] == self.num_nodes
+        if self.label_full is not None:
+            assert self.label_full.shape[0] == self.num_nodes
+
+    @property
+    def num_nodes(self) -> int:
+        return self.indptr_full.size - 1
+
+    @property
+    def num_edges(self) -> int:
+        return self.indices_full.size
+
+    @property
+    def is_transductive(self) -> bool:
+        # same rule as reference main.py:55 (adj_full.size == adj_train.size)
+        return (
+            self.indices_train is None
+            or self.indices_train.size == self.indices_full.size
+        )
+
+    @property
+    def prediction_task(self) -> str:
+        return "node" if self.node_set is not None else "link"
+
+    @property
+    def entity_set(self):
+        return self.node_set if self.node_set is not None else self.edge_set
+
+    def adj(self, mode: int):
+        """(indptr, indices) used for sampling in the given mode.
+
+        Mirrors reference main.py:64: TRAIN uses adj_train (inductive) and
+        VALID/TEST use adj_full.
+        """
+        if mode == TRAIN and self.indptr_train is not None:
+            return self.indptr_train, self.indices_train
+        return self.indptr_full, self.indices_full
+
+    def deinit(self):
+        for f in self.__dataclass_fields__:
+            setattr(self, f, None)
+
+
+@dataclass
+class DeviceGraph:
+    """Device-resident CSR of (a split of) the full graph.
+
+    ``indptr``/``indices`` live in HBM as int32 (int64 indptr when the
+    edge count overflows int32 — e.g. papers100M).  ``max_deg`` and
+    ``log2_max_deg`` are trace-time constants that bound the binary
+    search in the induction kernel.
+    """
+
+    indptr: Any          # jax.Array [N+1]
+    indices: Any         # jax.Array [E]
+    num_nodes: int
+    num_edges: int
+    max_deg: int
+    meta: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_csr(cls, indptr: np.ndarray, indices: np.ndarray, **meta):
+        import jax.numpy as jnp
+
+        n = indptr.size - 1
+        e = indices.size
+        deg = np.diff(indptr)
+        max_deg = int(deg.max()) if n > 0 else 0
+        ptr_dtype = np.int64 if e >= 2**31 else np.int32
+        return cls(
+            indptr=jnp.asarray(indptr.astype(ptr_dtype)),
+            indices=jnp.asarray(indices.astype(np.int32)),
+            num_nodes=n,
+            num_edges=e,
+            max_deg=max_deg,
+            meta=dict(meta),
+        )
+
+    @property
+    def search_steps(self) -> int:
+        """Binary-search iterations that cover any adjacency row."""
+        return max(1, int(np.ceil(np.log2(max(2, self.max_deg + 1)))) + 1)
+
+
+def degrees(indptr: np.ndarray) -> np.ndarray:
+    return np.diff(indptr)
+
+
+def csr_to_dense(indptr: np.ndarray, indices: np.ndarray, n: Optional[int] = None):
+    """Tiny-graph helper for tests/oracles."""
+    n = indptr.size - 1 if n is None else n
+    out = np.zeros((n, n), dtype=np.float32)
+    for v in range(indptr.size - 1):
+        out[v, indices[indptr[v]:indptr[v + 1]]] = 1.0
+    return out

@@ -1,0 +1,249 @@
+"""GNN backbone layers over padded dense subgraph blocks (flax.linen).
+
+Numerics match the reference ``shaDow/layers.py`` formulas exactly
+(verified per-layer in tests/test_layers.py against numpy ports):
+
+* ``norm_feat``  — per-row layernorm with slice-indexed scale/offset,
+  unbiased=False variance + 1e-9 (layers.py:329-338);
+* GCN (:417-444)  sym-normalized aggregate -> linear -> act -> norm;
+* SAGE (:447-494) rw-normalized neighbor + self linears, separate norm
+  slices (norm_dim (2, F)), summed;
+* GIN (:497-536)  (1+eps)x + Ax -> 2-layer MLP -> act -> norm;
+* GAT (:539-645)  per-head additive attention with the numerically
+  stable max-subtracted edge softmax, exp * dropedge-mask, denom
+  clamped at 1e-10; self/neigh head-sliced norm; (self+neigh)/2;
+* GATScatter (:648-744) the DGL-style variant (attention on source
+  features only, residual self connection);
+* MLP / SGC / SIGN (:376-414).
+
+Aggregation over a subgraph is a batched matmul ``A @ X`` on [B, N, N]
+x [B, N, F] blocks — MXU work — instead of torch.sparse.mm over a
+host-built block-diagonal CSR.  Parameters use torch-Linear-style
+U(-1/sqrt(fan_in)) init so training dynamics track the reference.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def torch_linear_init(key, shape, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch nn.Linear default."""
+    fan_in = shape[0] if len(shape) == 2 else shape[-1]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch's default init (weight [in, out])."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", torch_linear_init, (x.shape[-1], self.features))
+        y = x @ w
+        if self.use_bias:
+            fan_in = x.shape[-1]
+
+            def bias_init(key, shape, dtype=jnp.float32):
+                bound = 1.0 / jnp.sqrt(fan_in)
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            y = y + self.param("bias", bias_init, (self.features,))
+        return y
+
+
+def get_act(name: str) -> Callable:
+    if name == "relu":
+        return jax.nn.relu
+    if name == "I":
+        return lambda x: x          # LeakyReLU(slope=1) == identity
+    if name == "elu":
+        return jax.nn.elu
+    if name == "tanh":
+        return jnp.tanh
+    if name == "leakyrelu":
+        return lambda x: jax.nn.leaky_relu(x, 0.2)
+    raise NotImplementedError(f"activation {name} (prelu needs param module)")
+
+
+def norm_feat(feat: jax.Array, scale: jax.Array, offset: jax.Array) -> jax.Array:
+    """Reference layers.py:329-338: per-row affine layernorm."""
+    mean = feat.mean(-1, keepdims=True)
+    var = ((feat - mean) ** 2).mean(-1, keepdims=True) + 1e-9
+    return (feat - mean) * scale * jax.lax.rsqrt(var) + offset
+
+
+class _ConvBase(nn.Module):
+    """Shared config for conv layers."""
+
+    dim_out: int
+    dropout: float = 0.0
+    act: str = "relu"
+    norm: str = "norm_feat"
+    mulhead: int = 1
+
+    def _norm_params(self, shape):
+        scale = self.param("scale", nn.initializers.ones, shape)
+        offset = self.param("offset", nn.initializers.zeros, shape)
+        return scale, offset
+
+    def _maybe_norm(self, feat, scale, offset):
+        if self.norm == "none":
+            return feat
+        return norm_feat(feat, scale, offset)
+
+    def _dropout(self, x, train):
+        if self.dropout <= 0.0:
+            return x
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class GCNConv(_ConvBase):
+    @nn.compact
+    def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
+        f = get_act(self.act)
+        x = self._dropout(feat, train)
+        aggr = jnp.einsum("bij,bjf->bif", adj_norm, x)
+        out = f(TorchLinear(self.dim_out)(aggr))
+        scale, offset = self._norm_params((self.dim_out,))
+        return self._maybe_norm(out, scale, offset)
+
+
+class SAGEConv(_ConvBase):
+    @nn.compact
+    def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
+        f = get_act(self.act)
+        x = self._dropout(feat, train)
+        h_self = f(TorchLinear(self.dim_out, use_bias=True)(x))
+        neigh = jnp.einsum("bij,bjf->bif", adj_norm, x)
+        h_neigh = f(TorchLinear(self.dim_out, use_bias=True)(neigh))
+        scale, offset = self._norm_params((2, self.dim_out))
+        h_self = self._maybe_norm(h_self, scale[0], offset[0])
+        h_neigh = self._maybe_norm(h_neigh, scale[1], offset[1])
+        return h_self + h_neigh
+
+
+class GINConv(_ConvBase):
+    @nn.compact
+    def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
+        f = get_act(self.act)
+        x = self._dropout(feat, train)
+        eps = self.param("eps", nn.initializers.zeros, (1,))
+        aggr = jnp.einsum("bij,bjf->bif", adj_norm, x) + (1.0 + eps) * x
+        h = TorchLinear(self.dim_out)(aggr)
+        h = TorchLinear(self.dim_out)(jax.nn.relu(h))
+        out = f(h)
+        scale, offset = self._norm_params((self.dim_out,))
+        return self._maybe_norm(out, scale, offset)
+
+
+class GATConv(_ConvBase):
+    """Reference GAT (layers.py:539-645) over dense blocks.
+
+    Attention on subgraph blocks IS masked dense attention: scores
+    S[b,i,j] = leaky(a_s . h_i) + leaky(a_n . h_j), softmax over the
+    structural edges of row i with dropedge-zeroed exp terms.
+    """
+
+    @nn.compact
+    def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
+        f = get_act(self.act)
+        h = self.mulhead
+        dh = self.dim_out // h
+        assert self.dim_out % h == 0
+        x = self._dropout(feat, train)
+        b, n, _ = x.shape
+        h_self = f(TorchLinear(self.dim_out)(x)).reshape(b, n, h, dh)
+        h_neigh = f(TorchLinear(self.dim_out)(x)).reshape(b, n, h, dh)
+        # attention params: [2, heads, dh] xavier-uniform (layers.py:557-558)
+        att = self.param("attention", nn.initializers.glorot_uniform(),
+                         (2, h, dh))
+        att_self = jax.nn.leaky_relu(
+            jnp.einsum("bnhd,hd->bnh", h_self, att[0]), 0.2)
+        att_neigh = jax.nn.leaky_relu(
+            jnp.einsum("bnhd,hd->bnh", h_neigh, att[1]), 0.2)
+        # S[b,i,j,h] over structural edges
+        s = att_self[:, :, None, :] + att_neigh[:, None, :, :]
+        struct = adj_struct[..., None] > 0
+        s_masked = jnp.where(struct, s, -jnp.inf)
+        row_max = jnp.max(s_masked, axis=2, keepdims=True)      # [b,i,1,h]
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+        e = jnp.exp(s - row_max) * adj_norm[..., None]          # dropedge via values
+        denom = jnp.clip(e.sum(2), 1e-10, None)                 # [b,i,h]
+        aggr = jnp.einsum("bijh,bjhd->bihd", e, h_neigh) / denom[..., None]
+        scale, offset = self._norm_params((2, h, dh))
+        if self.norm != "none":
+            aggr = norm_feat(aggr, scale[0], offset[0])
+            h_self = norm_feat(h_self, scale[1], offset[1])
+        out = (h_self.reshape(b, n, -1) + aggr.reshape(b, n, -1)) / 2.0
+        return out
+
+
+class GATScatterConv(_ConvBase):
+    """DGL-style GAT variant (layers.py:648-744)."""
+
+    @nn.compact
+    def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
+        f = get_act(self.act)
+        h = self.mulhead
+        dh = self.dim_out // h
+        x = self._dropout(feat, train)
+        b, n, _ = x.shape
+        gain = jnp.sqrt(2.0) if self.act == "relu" else 1.0
+
+        def xavier_normal_gain(key, shape, dtype=jnp.float32):
+            fan_in, fan_out = shape[0], shape[-1]
+            std = gain * jnp.sqrt(2.0 / (fan_in + fan_out))
+            return std * jax.random.normal(key, shape, dtype)
+
+        w_src = self.param("w_src", xavier_normal_gain, (x.shape[-1], self.dim_out))
+        b_src = self.param("b_src", nn.initializers.zeros, (self.dim_out,))
+        w_dst = self.param("w_dst", xavier_normal_gain, (x.shape[-1], self.dim_out))
+        b_dst = self.param("b_dst", nn.initializers.zeros, (self.dim_out,))
+        att = self.param("attention", xavier_normal_gain, (1, h, dh))
+        feat_src = (x @ w_src + b_src).reshape(b, n, h, dh)
+        el = jax.nn.leaky_relu(jnp.einsum("bnhd,ohd->bnh", feat_src, att), 0.2)
+        # score of edge (i, j) depends only on source j (reference :727-729)
+        s = jnp.broadcast_to(el[:, None, :, :], (b, n, n, h))
+        struct = adj_struct[..., None] > 0
+        s_masked = jnp.where(struct, s, -jnp.inf)
+        row_max = jnp.max(s_masked, axis=2, keepdims=True)
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+        e = jnp.exp(s - row_max) * adj_norm[..., None]
+        denom = jnp.clip(e.sum(2), 1e-10, None)
+        aggr = jnp.einsum("bijh,bjhd->bihd", e, feat_src) / denom[..., None]
+        feat_self = x @ w_dst + b_dst
+        out = f(aggr.reshape(b, n, -1) + feat_self)
+        scale, offset = self._norm_params((self.dim_out,))
+        return self._maybe_norm(out, scale, offset)
+
+
+class MLPLayer(_ConvBase):
+    """MLP / SGC / SIGN layer (layers.py:376-414): ignores the adjacency."""
+
+    @nn.compact
+    def __call__(self, feat, adj_norm=None, adj_struct=None, node_mask=None,
+                 *, train: bool):
+        f = get_act(self.act)
+        x = self._dropout(feat, train)
+        out = f(TorchLinear(self.dim_out)(x))
+        scale, offset = self._norm_params((self.dim_out,))
+        return self._maybe_norm(out, scale, offset)
+
+
+NAME2LAYER = {
+    "mlp": MLPLayer,
+    "gcn": GCNConv,
+    "gin": GINConv,
+    "sage": SAGEConv,
+    "gat": GATConv,
+    "gatscat": GATScatterConv,
+    "sgc": MLPLayer,
+    "sign": MLPLayer,
+}

@@ -1,0 +1,155 @@
+"""Device-side node-induced subgraph extraction.
+
+Replaces the hottest loop of the reference's C++ engine
+(``_node_induced_subgraph``, ``ParallelSampler.cpp:350-453``): given the
+sampled node set of each subgraph, build the induced adjacency.  The
+reference renumbers ids through a hash map per subgraph on one CPU
+thread; here the whole batch is one static-shape jitted program:
+
+* membership test = vectorized binary search of every (row-node,
+  col-node) pair directly into the HBM-resident CSR ``indices`` array —
+  exact for any degree distribution, no caps, O(B·N²·log(max_deg));
+* local renumbering is implicit: nodes are kept sorted, so the j-th
+  column *is* local id j (the C++ also sorts, cpp:362);
+* self-edge insertion and target-target edge removal reproduce
+  cpp:386-424 semantics on the dense block;
+* hop/DRNL annotations (cpp:433-451, Graph.cpp:32-73) become batched
+  dense-matvec BFS.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from shadow_gnn_tpu.data.graph import DeviceGraph
+from shadow_gnn_tpu.sampling.batch import SamplerConfig, SubgraphBatch
+
+
+def membership_matrix(graph: DeviceGraph, nodes: jax.Array) -> jax.Array:
+    """adj[b, i, j] = 1.0 iff edge (nodes[b,i] -> nodes[b,j]) in graph.
+
+    ``nodes`` is [B, N] sorted ascending with padding = num_nodes.
+    Binary search (lower_bound) of each column id in each row's CSR
+    neighbor slice; ``graph.search_steps`` iterations guarantee
+    convergence for the graph's max degree.
+    """
+    n_id = graph.num_nodes
+    u = jnp.minimum(nodes, n_id - 1)                     # safe row ids
+    row_valid = nodes < n_id
+    lo0 = graph.indptr[u]                                # [B, N]
+    hi0 = graph.indptr[u + 1]
+    lo0 = jnp.where(row_valid, lo0, 0)
+    hi0 = jnp.where(row_valid, hi0, 0)
+
+    q = nodes[:, None, :]                                # [B, 1, N] col ids
+    lo = jnp.broadcast_to(lo0[:, :, None], lo0.shape + (nodes.shape[1],))
+    hi = jnp.broadcast_to(hi0[:, :, None], lo.shape)
+    hi_end = hi
+
+    def step(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        v = graph.indices[jnp.clip(mid, 0, graph.num_edges - 1)]
+        ge = v >= q
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, graph.search_steps, step, (lo, hi))
+    pos = lo
+    found = (pos < hi_end) & (
+        graph.indices[jnp.clip(pos, 0, graph.num_edges - 1)] == q
+    )
+    col_valid = (q < n_id)
+    return (found & col_valid & row_valid[:, :, None]).astype(jnp.float32)
+
+
+def bfs_hops(adj: jax.Array, start_local: jax.Array, node_mask: jax.Array
+             ) -> jax.Array:
+    """Batched BFS distance from a start node over dense blocks.
+
+    Returns [B, N] int32 with -1 for unreachable/padded nodes.  Follows
+    out-edges (CSR row direction), like SubgraphStruct::compute_hops.
+    """
+    b, n, _ = adj.shape
+    frontier = jax.nn.one_hot(start_local, n, dtype=jnp.float32) > 0
+    dist = jnp.where(frontier, 0, -1)
+
+    def cond(c):
+        _, frontier, _ = c
+        return jnp.any(frontier)
+
+    def body(c):
+        dist, frontier, lvl = c
+        nxt = jnp.einsum("bi,bij->bj", frontier.astype(jnp.float32), adj) > 0
+        new = nxt & (dist < 0) & node_mask
+        dist = jnp.where(new, lvl + 1, dist)
+        return dist, new, lvl + 1
+
+    dist, _, _ = jax.lax.while_loop(cond, body, (dist, frontier, jnp.int32(0)))
+    return dist
+
+
+def drnl_labels(adj: jax.Array, targets: jax.Array, node_mask: jax.Array
+                ) -> jax.Array:
+    """Double-radius node labels for 2-target (link) subgraphs.
+
+    Formula of Graph.cpp:66-73: unreachable (>=255) -> 255; else
+    1 + min(dx,dy) + (d/2)*((d/2)+(d%2)-1) with d = dx+dy.
+    """
+    dx = bfs_hops(adj, targets[:, 0], node_mask)
+    dy = bfs_hops(adj, targets[:, 1], node_mask)
+    dx = jnp.where(dx < 0, 255, dx)
+    dy = jnp.where(dy < 0, 255, dy)
+    d = dx + dy
+    half = d // 2
+    val = 1 + jnp.minimum(dx, dy) + half * (half + d % 2 - 1)
+    return jnp.where((dx >= 255) | (dy >= 255), 255, val).astype(jnp.int32)
+
+
+def induce(graph: DeviceGraph, nodes: jax.Array, ppr_vals: jax.Array,
+           roots: jax.Array, cfg: SamplerConfig) -> SubgraphBatch:
+    """Build the full SubgraphBatch from sampled node sets.
+
+    nodes     [B, N] sorted, padding = graph.num_nodes
+    ppr_vals  [B, N] aligned PPR annotations (zeros if none)
+    roots     [B, T] global target ids (must be members of ``nodes``)
+    """
+    n_id = graph.num_nodes
+    node_mask = nodes < n_id
+    size = node_mask.sum(-1).astype(jnp.int32)
+
+    adj = membership_matrix(graph, nodes)
+
+    # local target indices via binary search in the sorted node table
+    targets = jax.vmap(jnp.searchsorted)(nodes, roots).astype(jnp.int32)
+
+    # remove target<->target edges (cpp:356-358: forced kept for T==1;
+    # cpp:412-418: removed otherwise unless include_target_conn)
+    if cfg.num_targets > 1 and not cfg.include_target_conn:
+        t_oh = jax.nn.one_hot(targets, nodes.shape[1], dtype=jnp.float32)  # [B,T,N]
+        t_any = t_oh.sum(1)                            # [B, N] indicator
+        adj = adj * (1.0 - t_any[:, :, None] * t_any[:, None, :])
+
+    # self-edge insertion (cpp:386-411); idempotent on the dense block
+    if cfg.add_self_edge:
+        eye = jnp.eye(nodes.shape[1], dtype=jnp.float32)
+        adj = jnp.maximum(adj, eye[None] * node_mask[:, None, :] * node_mask[:, :, None])
+
+    hop = jnp.full(nodes.shape, -1, jnp.int32)
+    drnl = jnp.zeros(nodes.shape, jnp.int32)
+    if "hops" in cfg.aug_feats:
+        assert cfg.num_targets == 1, "hops aug needs a single target (cpp:434)"
+        hop = bfs_hops(adj, targets[:, 0], node_mask)
+    if "drnls" in cfg.aug_feats:
+        assert cfg.num_targets == 2, "drnl needs two targets"
+        drnl = drnl_labels(adj, targets, node_mask)
+
+    return SubgraphBatch(
+        nodes=nodes,
+        node_mask=node_mask,
+        adj=adj,
+        targets=targets,
+        size=size,
+        hop=hop,
+        ppr=ppr_vals,
+        drnl=drnl,
+    )

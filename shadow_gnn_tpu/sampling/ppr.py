@@ -1,0 +1,269 @@
+"""Approximate personalized PageRank precompute + top-k tables.
+
+The reference computes per-target approximate PPR with a forward-push
+algorithm on the CPU (OpenMP over targets, ``ParallelSampler.cpp:237-344``)
+and caches the per-target top-k neighbor/score lists in binary files
+(``ParallelSampler.cpp:94-231``).  This module provides
+
+* :func:`ppr_push_host` — a faithful host implementation of the same
+  lazy forward-push (numpy; the C++ native library in
+  ``native/`` provides the fast multi-threaded path, used when built),
+* :func:`ppr_power_device` — the TPU-native alternative: batched lazy
+  power iteration as dense/SpMM compute on device, producing the same
+  stationary vector that forward-push approximates,
+* binary cache IO that is byte-compatible with the reference format so
+  precomputed ``ppr_float/{neighs,scores}_*.bin`` files can be reused in
+  either direction.
+
+Semantics notes (matching the C++):
+* config ``alpha`` is flipped internally: ``alpha_int = 1 - alpha``
+  (``cpp:242``), i.e. config alpha=0.85 means teleport prob 0.15;
+* the push is "lazy": on settling, half of ``(1-alpha_int)*res`` stays
+  at the node (``cpp:286,306``);
+* top-k selection sorts by (-score, node_id) so ties break by id
+  (``cpp:321-327`` sorts pairs of (-score, id)).
+"""
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# host forward-push (reference semantics)
+# ---------------------------------------------------------------------------
+
+def ppr_push_single(indptr: np.ndarray, indices: np.ndarray, deg: np.ndarray,
+                    target: int, alpha_int: float, epsilon: float
+                    ) -> Dict[int, float]:
+    """Forward-push approximate PPR from one target.
+
+    Returns {node: pi} for every node that was ever pushed ("touched"),
+    identical to the C++ ``use_map=False`` branch (cpp:263-317).
+    """
+    n = indptr.size - 1
+    pi = {}
+    residue = {target: 1.0}
+    # std::set pops the smallest id first -> deterministic push order
+    import heapq
+    prop = [target]
+    in_prop = {target}
+    touched = {}
+    while prop:
+        v = heapq.heappop(prop)
+        in_prop.discard(v)
+        res = residue.get(v, 0.0)
+        pi[v] = pi.get(v, 0.0) + alpha_int * res
+        dv = deg[v]
+        if dv > 0:
+            m = (1.0 - alpha_int) * res / (2.0 * dv)
+            for u in indices[indptr[v]:indptr[v + 1]]:
+                u = int(u)
+                residue[u] = residue.get(u, 0.0) + m
+                if residue[u] > epsilon * deg[u] and u not in in_prop:
+                    heapq.heappush(prop, u)
+                    in_prop.add(u)
+        residue[v] = res * (1.0 - alpha_int) / 2.0
+        # dv == 0 settles unconditionally (the C++ would spin on isolated
+        # nodes; datasets have none, but the guard keeps us total)
+        if residue[v] <= epsilon * dv or dv == 0:
+            touched[v] = pi[v]
+        else:
+            if v not in in_prop:
+                heapq.heappush(prop, v)
+                in_prop.add(v)
+    return touched
+
+
+def _topk_sorted(touched: Dict[int, float], k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k by score, ties broken by smaller node id; sorted descending."""
+    if not touched:
+        return np.zeros(0, np.int32), np.zeros(0, np.float32)
+    ids = np.fromiter(touched.keys(), dtype=np.int64)
+    sc = np.fromiter(touched.values(), dtype=np.float64)
+    order = np.lexsort((ids, -sc))[: min(k, ids.size)]
+    return ids[order].astype(np.int32), sc[order].astype(np.float32)
+
+
+def ppr_push_host(indptr: np.ndarray, indices: np.ndarray,
+                  targets: np.ndarray, k: int, alpha: float, epsilon: float,
+                  use_native: bool = True) -> Tuple[list, list]:
+    """Per-target approximate PPR; returns (neighs_list, scores_list).
+
+    ``alpha`` is the *config* alpha (e.g. 0.85); flipped internally like
+    the reference.  Uses the C++ native library when available.
+    """
+    alpha_int = 1.0 - alpha
+    if use_native:
+        try:
+            from shadow_gnn_tpu.native import ppr_push_native
+            return ppr_push_native(indptr, indices, targets, k, alpha_int, epsilon)
+        except (ImportError, OSError):
+            pass
+    deg = np.diff(indptr).astype(np.int64)
+    neighs, scores = [], []
+    for t in np.asarray(targets):
+        touched = ppr_push_single(indptr, indices, deg, int(t), alpha_int, epsilon)
+        ni, si = _topk_sorted(touched, k)
+        neighs.append(ni)
+        scores.append(si)
+    return neighs, scores
+
+
+# ---------------------------------------------------------------------------
+# TPU-native batched power iteration
+# ---------------------------------------------------------------------------
+
+def ppr_power_device(indptr: np.ndarray, indices: np.ndarray,
+                     targets: np.ndarray, k: int, alpha: float,
+                     num_iter: int = 50, batch: int = 512
+                     ) -> Tuple[list, list]:
+    """Batched lazy-walk PPR by power iteration on device.
+
+    Iterates ``pi <- a*e_t + (1-a) * (pi/2 + P^T pi/2)`` with
+    ``P = D^{-1}A`` — the stationary point the forward-push approximates.
+    One SpMM per iteration over a [N, batch] block: MXU/HBM-friendly and
+    orders of magnitude faster than per-root push for dense target sets.
+    Top-k per column computed on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    alpha_int = 1.0 - alpha
+    n = indptr.size - 1
+    deg = np.maximum(np.diff(indptr), 1).astype(np.float32)
+    src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+    dst = indices.astype(np.int32)
+    # w[e] = 1/deg[src[e]]; (P^T x)[u] = sum_{e: dst=u} w[e] x[src[e]]
+    w = (1.0 / deg[src]).astype(np.float32)
+    src_j, dst_j, w_j = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+
+    @jax.jit
+    def run_block(tgt_block):
+        e = jax.nn.one_hot(tgt_block, n, dtype=jnp.float32).T  # [N, B]
+        def body(pi, _):
+            msg = jax.ops.segment_sum(w_j[:, None] * pi[src_j], dst_j, num_segments=n)
+            pi = alpha_int * e + (1 - alpha_int) * 0.5 * (pi + msg)
+            return pi, None
+        pi, _ = jax.lax.scan(body, e * alpha_int, None, length=num_iter)
+        topv, topi = jax.lax.top_k(pi.T, k)  # [B, k]
+        return topi.astype(jnp.int32), topv
+
+    neighs, scores = [], []
+    targets = np.asarray(targets)
+    for s in range(0, targets.size, batch):
+        blk = targets[s:s + batch]
+        pad = batch - blk.size
+        blk_p = np.pad(blk, (0, pad))
+        ti, tv = run_block(jnp.asarray(blk_p))
+        ti, tv = np.asarray(ti), np.asarray(tv)
+        for b in range(blk.size):
+            valid = tv[b] > 0
+            neighs.append(ti[b][valid])
+            scores.append(tv[b][valid])
+    return neighs, scores
+
+
+def ppr_topk_tables(neighs: list, scores: list, k: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad per-target lists into dense [T, k] tables (pad: id=-1, score=0)."""
+    t = len(neighs)
+    tab_n = np.full((t, k), -1, dtype=np.int32)
+    tab_s = np.zeros((t, k), dtype=np.float32)
+    for i, (ni, si) in enumerate(zip(neighs, scores)):
+        m = min(k, ni.size)
+        tab_n[i, :m] = ni[:m]
+        tab_s[i, :m] = si[:m]
+    return tab_n, tab_s
+
+
+# ---------------------------------------------------------------------------
+# binary cache, byte-compatible with the reference
+# ---------------------------------------------------------------------------
+
+def ppr_cache_paths(dir_data: str, name_data: str, is_transductive: bool,
+                    mode_str: str, alpha: float, epsilon: float, k: int):
+    """File naming contract of reference samplers_cpp.py:135-170."""
+    str_trans = "transductive" if is_transductive else "inductive"
+    d = f"{dir_data}/{name_data}/ppr_float"
+    suffix = f"{str_trans}_{mode_str}_{alpha}_{epsilon}"
+    return (f"{d}/neighs_{suffix}_{k}.bin", f"{d}/scores_{suffix}_{k}.bin")
+
+
+def find_ppr_cache(dir_data: str, name_data: str, is_transductive: bool,
+                   mode_str: str, alpha: float, epsilon: float, k_required: int):
+    """Accept any cached file with k_meta >= k_required (ref :156-166)."""
+    import glob as _glob
+    str_trans = "transductive" if is_transductive else "inductive"
+    d = f"{dir_data}/{name_data}/ppr_float"
+    suffix = f"{str_trans}_{mode_str}_{alpha}_{epsilon}"
+    for cn in sorted(_glob.glob(f"{d}/neighs_{suffix}_*")):
+        k_meta = int(cn.rsplit("_", 1)[-1].split(".bin")[0])
+        cs = f"{d}/scores_{suffix}_{k_meta}.bin"
+        if k_meta >= k_required and os.path.isfile(cs):
+            return cn, cs
+    return None, None
+
+
+def _write_ragged(path: str, vecs: list, fmt_item: str, k: int,
+                  alpha_int: float, epsilon: float):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ffiI", alpha_int, epsilon, k, len(vecs)))
+        for v in vecs:
+            f.write(struct.pack("<I", len(v)))
+            f.write(np.asarray(v).astype("<u4" if fmt_item == "I" else "<f4").tobytes())
+
+
+def write_ppr_cache(fname_neighs: str, fname_scores: str, num_nodes: int,
+                    target_rows: np.ndarray, neighs: list, scores: list,
+                    k: int, alpha_config: float, epsilon: float):
+    """Write the reference bin format; non-target rows get empty lists.
+
+    Header stores the *internal* alpha (1 - config alpha), matching the
+    value the C++ writes after its flip at cpp:242.
+    """
+    os.makedirs(os.path.dirname(fname_neighs), exist_ok=True)
+    alpha_int = 1.0 - alpha_config
+    nv = [np.zeros(0, np.uint32)] * num_nodes
+    sv = [np.zeros(0, np.float32)] * num_nodes
+    for row, t in enumerate(np.asarray(target_rows)):
+        nv[int(t)] = neighs[row]
+        sv[int(t)] = scores[row]
+    _write_ragged(fname_neighs, nv, "I", k, alpha_int, epsilon)
+    _write_ragged(fname_scores, sv, "f", k, alpha_int, epsilon)
+
+
+def read_ppr_cache(fname_neighs: str, fname_scores: str, k: int,
+                   alpha_config: float, epsilon: float
+                   ) -> Optional[Tuple[list, list]]:
+    """Read the bin cache; None on meta mismatch (ref cpp:145-231).
+
+    Clips each row to k like the reference's deg_clip.
+    Returns full-length (num_nodes) ragged lists.
+    """
+    if not (os.path.isfile(fname_neighs) and os.path.isfile(fname_scores)):
+        return None
+    alpha_int = 1.0 - alpha_config
+
+    def read_file(path, np_dtype):
+        with open(path, "rb") as f:
+            a, e, k_, cnt = struct.unpack("<ffiI", f.read(16))
+            if abs(a - np.float32(alpha_int)) > 1e-7 or e > 1.1 * epsilon \
+                    or e < 0.9 * epsilon or k_ < k:
+                return None
+            out = []
+            for _ in range(cnt):
+                (sz,) = struct.unpack("<I", f.read(4))
+                row = np.frombuffer(f.read(4 * sz), dtype=np_dtype)
+                out.append(row[:k])
+            return out
+    nv = read_file(fname_neighs, "<u4")
+    if nv is None:
+        return None
+    sv = read_file(fname_scores, "<f4")
+    if sv is None:
+        return None
+    return [n.astype(np.int32) for n in nv], [s.astype(np.float32) for s in sv]

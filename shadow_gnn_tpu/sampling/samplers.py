@@ -1,0 +1,219 @@
+"""Device-side subgraph samplers.
+
+TPU-native equivalents of the four OpenMP samplers in the reference's
+C++ engine (``ParallelSampler.cpp``): each is a jitted gather program
+over the HBM-resident CSR producing fixed-capacity node sets, which
+:mod:`shadow_gnn_tpu.sampling.induction` turns into dense subgraph
+blocks.
+
+sampler      reference                     here
+-----------  ----------------------------  --------------------------------
+nodeIID      cpp:498-508                   targets only
+khop         cpp:510-556                   per-level budgeted random gather
+ppr          cpp:565-595                   top-k table row gather
+ppr_st       cpp:603-650                   exponential-race top-k
+                                           (u^(1/s) trick, cpp:630-644,
+                                           via sorted log(u)/s keys)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadow_gnn_tpu.data.graph import DeviceGraph
+from shadow_gnn_tpu.sampling.batch import SamplerConfig, SubgraphBatch, sort_dedup
+from shadow_gnn_tpu.sampling.induction import induce
+
+
+class PPRTables(NamedTuple):
+    """Per-target top-k PPR tables, row-aligned with the mode's target set.
+
+    neighs [T, k] int32 (pad -1) — neighbor ids sorted by descending score
+    scores [T, k] f32   (pad 0)
+    """
+
+    neighs: jax.Array
+    scores: jax.Array
+
+
+def _dedup_with_scores(ids: jax.Array, scores: jax.Array, sentinel: int,
+                       n_pad: int) -> Tuple[jax.Array, jax.Array]:
+    """Sort ids ascending, dedup keeping the max score per id, pad to n_pad."""
+    # stable two-pass: order by score desc, then stable-sort by id so the
+    # first occurrence of each id carries its max score
+    o1 = jnp.argsort(-scores, axis=-1, stable=True)
+    ids1 = jnp.take_along_axis(ids, o1, axis=-1)
+    sc1 = jnp.take_along_axis(scores, o1, axis=-1)
+    o2 = jnp.argsort(ids1, axis=-1, stable=True)
+    ids2 = jnp.take_along_axis(ids1, o2, axis=-1)
+    sc2 = jnp.take_along_axis(sc1, o2, axis=-1)
+    prev = jnp.concatenate([jnp.full_like(ids2[..., :1], -1), ids2[..., :-1]], -1)
+    dup = ids2 == prev
+    ids3 = jnp.where(dup, sentinel, ids2)
+    sc3 = jnp.where(dup, 0.0, sc2)
+    o4 = jnp.argsort(ids3, axis=-1, stable=True)
+    ids4 = jnp.take_along_axis(ids3, o4, axis=-1)
+    sc4 = jnp.take_along_axis(sc3, o4, axis=-1)
+    m = ids.shape[-1]
+    if m < n_pad:
+        pad = [(0, 0)] * (ids.ndim - 1) + [(0, n_pad - m)]
+        ids4 = jnp.pad(ids4, pad, constant_values=sentinel)
+        sc4 = jnp.pad(sc4, pad)
+    else:
+        ids4 = ids4[..., :n_pad]
+        sc4 = sc4[..., :n_pad]
+    return ids4, sc4
+
+
+def _ppr_keep_mask(scores: jax.Array, avail: jax.Array, threshold: float
+                   ) -> jax.Array:
+    """Threshold cut of cpp:583-586: keep entry i while
+    scores[i]/max_ppr >= threshold, where max_ppr = scores[1] (or 0 when
+    fewer than 2 entries, which keeps nothing beyond the target)."""
+    k = scores.shape[-1]
+    idx = jnp.arange(k)
+    in_range = idx[None, :] < avail[:, None]
+    if k >= 2:
+        max_ppr = jnp.where(avail > 1, scores[:, 1], 0.0)
+    else:
+        max_ppr = jnp.zeros(scores.shape[:-1], scores.dtype)
+    pass_thresh = (max_ppr[:, None] > 0) & (
+        scores >= threshold * max_ppr[:, None]
+    )
+    return in_range & pass_thresh
+
+
+def sample_nodes_ppr(cfg: SamplerConfig, graph: DeviceGraph,
+                     roots: jax.Array, table_rows: jax.Array,
+                     tables: PPRTables) -> Tuple[jax.Array, jax.Array]:
+    """Deterministic top-k PPR scope (cpp:565-595).
+
+    roots       [B, T] global target ids
+    table_rows  [B, T] row index of each target in ``tables``
+    """
+    b, t = roots.shape
+    neighs = tables.neighs[table_rows.reshape(-1)]           # [B*T, k]
+    scores = tables.scores[table_rows.reshape(-1)]
+    avail = (neighs >= 0).sum(-1)
+    keep = _ppr_keep_mask(scores, avail, cfg.threshold)
+    sent = graph.num_nodes
+    ids = jnp.where(keep, neighs, sent).reshape(b, -1)
+    sc = jnp.where(keep, scores, 0.0).reshape(b, -1)
+    # the target itself is always in scope (cpp:574: nodes_touched[t]=-1,
+    # later overwritten by its own table score via the map)
+    ids = jnp.concatenate([roots, ids], axis=-1)
+    sc = jnp.concatenate([jnp.full((b, t), -1.0), sc], axis=-1)
+    return _dedup_with_scores(ids, sc, sent, cfg.n_pad)
+
+
+def sample_nodes_ppr_st(cfg: SamplerConfig, graph: DeviceGraph,
+                        roots: jax.Array, table_rows: jax.Array,
+                        tables: PPRTables, rng: jax.Array
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Stochastic PPR scope (cpp:603-650): sample ``sample_size`` table
+    entries with probability ~ score, via the exponential race
+    u^(1/s) (equivalently top-k of log(u)/s).
+
+    Deviation from the C++: the target is force-included.  The C++ does
+    not add it explicitly and relies on the map's operator[] default if
+    the target loses the race (which would silently alias local node 0);
+    forcing inclusion is strictly more correct.
+    """
+    b, t = roots.shape
+    neighs = tables.neighs[table_rows.reshape(-1)]           # [B*T, k]
+    scores = tables.scores[table_rows.reshape(-1)]
+    avail = (neighs >= 0).sum(-1)
+    n_keep = _ppr_keep_mask(scores, avail, cfg.threshold).sum(-1)  # sample_size
+    u = jax.random.uniform(rng, scores.shape, minval=1e-12, maxval=1.0)
+    key = jnp.where(scores > 0, jnp.log(u) / jnp.maximum(scores, 1e-30),
+                    -jnp.inf)
+    order = jnp.argsort(-key, axis=-1)                       # best first
+    rank = jnp.arange(scores.shape[-1])[None, :]
+    sel = rank < n_keep[:, None]
+    sent = graph.num_nodes
+    ids_sel = jnp.where(sel, jnp.take_along_axis(neighs, order, -1), sent)
+    sc_sel = jnp.where(sel, jnp.take_along_axis(scores, order, -1), 0.0)
+    ids = ids_sel.reshape(b, -1)
+    sc = sc_sel.reshape(b, -1)
+    ids = jnp.concatenate([roots, ids], axis=-1)
+    sc = jnp.concatenate([jnp.full((b, t), -1.0), sc], axis=-1)
+    return _dedup_with_scores(ids, sc, sent, cfg.n_pad)
+
+
+def sample_nodes_khop(cfg: SamplerConfig, graph: DeviceGraph,
+                      roots: jax.Array, rng: jax.Array
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Budgeted k-hop expansion (cpp:510-556).
+
+    Per level, each frontier node contributes all its neighbors when
+    deg <= budget, else ``budget`` uniform picks with replacement — the
+    same distribution as the C++ ``rand()%deg`` loop.  Levels are
+    deduped before expansion (the C++ frontier is a std::set).
+    """
+    sent = graph.num_nodes
+    b, t = roots.shape
+    budget = cfg.budget
+    assert budget > 0, "device khop requires a positive budget"
+    levels = [roots]
+    cur = roots
+    for lvl in range(cfg.depth):
+        rng, sub = jax.random.split(rng)
+        v = jnp.minimum(cur, sent - 1)
+        valid = cur < sent
+        lo = graph.indptr[v]
+        deg = graph.indptr[v + 1] - lo
+        r = jax.random.randint(sub, cur.shape + (budget,), 0, 1 << 30)
+        j = jnp.arange(budget)[None, None, :]
+        off = jnp.where(deg[..., None] <= budget, j, r % jnp.maximum(deg[..., None], 1))
+        take = valid[..., None] & (off < deg[..., None])
+        nbr = graph.indices[jnp.clip(lo[..., None] + off, 0, graph.num_edges - 1)]
+        nxt = jnp.where(take, nbr, sent).reshape(b, -1)
+        nxt = sort_dedup(nxt, sent)          # per-level set semantics
+        levels.append(nxt)
+        cur = nxt
+    ids = jnp.concatenate(levels, axis=-1)
+    sc = jnp.zeros_like(ids, dtype=jnp.float32)
+    return _dedup_with_scores(ids, sc, sent, cfg.n_pad)
+
+
+def sample_nodes_iid(cfg: SamplerConfig, graph: DeviceGraph, roots: jax.Array
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """nodeIID (cpp:498-508): scope = the targets themselves."""
+    sent = graph.num_nodes
+    sc = jnp.zeros_like(roots, dtype=jnp.float32)
+    return _dedup_with_scores(roots, sc, sent, cfg.n_pad)
+
+
+def sample_subgraphs(cfg: SamplerConfig, graph: DeviceGraph,
+                     roots: jax.Array, rng: Optional[jax.Array] = None,
+                     table_rows: Optional[jax.Array] = None,
+                     tables: Optional[PPRTables] = None) -> SubgraphBatch:
+    """Sample + induce one batch of subgraphs (jit-friendly)."""
+    if cfg.method == "ppr":
+        nodes, ppr_vals = sample_nodes_ppr(cfg, graph, roots, table_rows, tables)
+    elif cfg.method == "ppr_st":
+        nodes, ppr_vals = sample_nodes_ppr_st(cfg, graph, roots, table_rows,
+                                              tables, rng)
+    elif cfg.method == "khop":
+        nodes, ppr_vals = sample_nodes_khop(cfg, graph, roots, rng)
+    elif cfg.method == "nodeIID":
+        nodes, ppr_vals = sample_nodes_iid(cfg, graph, roots)
+    else:
+        raise ValueError(cfg.method)
+    return induce(graph, nodes, ppr_vals, roots, cfg)
+
+
+def build_sampler(cfg: SamplerConfig, graph: DeviceGraph,
+                  tables: Optional[PPRTables] = None):
+    """Return a jitted ``(roots, rng, table_rows) -> SubgraphBatch``."""
+
+    @partial(jax.jit, static_argnames=())
+    def fn(roots, rng=None, table_rows=None):
+        return sample_subgraphs(cfg, graph, roots, rng=rng,
+                                table_rows=table_rows, tables=tables)
+
+    return fn

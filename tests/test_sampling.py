@@ -1,0 +1,211 @@
+"""Sampler + induction kernels vs numpy oracles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shadow_gnn_tpu.data.graph import DeviceGraph, csr_to_dense
+from shadow_gnn_tpu.data.synthetic import make_random_graph
+from shadow_gnn_tpu.sampling import ppr as ppr_mod
+from shadow_gnn_tpu.sampling.batch import SamplerConfig, default_n_pad
+from shadow_gnn_tpu.sampling.samplers import (
+    PPRTables, sample_subgraphs, sample_nodes_ppr,
+)
+from shadow_gnn_tpu.sampling.induction import membership_matrix, induce
+
+import oracle
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    indptr, indices = make_random_graph(300, 6.0, seed=3)
+    return indptr, indices
+
+
+@pytest.fixture(scope="module")
+def dev_graph(small_graph):
+    return DeviceGraph.from_csr(*small_graph)
+
+
+def test_membership_matrix_exact(small_graph, dev_graph):
+    indptr, indices = small_graph
+    rng = np.random.default_rng(0)
+    n_pad = 16
+    dense_full = csr_to_dense(indptr, indices)
+    for b in range(4):
+        picks = np.sort(rng.choice(300, size=rng.integers(2, n_pad), replace=False))
+        nodes = np.full(n_pad, 300, np.int32)
+        nodes[:picks.size] = picks
+        got = np.asarray(membership_matrix(dev_graph, jnp.asarray(nodes[None])))[0]
+        want = np.zeros((n_pad, n_pad), np.float32)
+        want[:picks.size, :picks.size] = dense_full[np.ix_(picks, picks)]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_membership_matrix_hub_degrees():
+    # exactness must not depend on degree distribution (no caps)
+    indptr, indices = make_random_graph(500, 12.0, seed=7, power_law=True)
+    g = DeviceGraph.from_csr(indptr, indices)
+    dense_full = csr_to_dense(indptr, indices)
+    hubs = np.argsort(-np.diff(indptr))[:10].astype(np.int32)
+    nodes = np.sort(hubs)
+    pad = np.full(16, 500, np.int32)
+    pad[:10] = nodes
+    got = np.asarray(membership_matrix(g, jnp.asarray(pad[None])))[0]
+    want = np.zeros((16, 16), np.float32)
+    want[:10, :10] = dense_full[np.ix_(nodes, nodes)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_induce_vs_oracle(small_graph, dev_graph):
+    indptr, indices = small_graph
+    rng = np.random.default_rng(1)
+    cfg = SamplerConfig(method="nodeIID", n_pad=24, add_self_edge=True,
+                        aug_feats=("hops",))
+    for seed in range(3):
+        picks = np.unique(rng.choice(300, size=20))
+        root = picks[rng.integers(len(picks))]
+        nodes = np.full(24, 300, np.int32)
+        nodes[:picks.size] = np.sort(picks)
+        batch = induce(dev_graph, jnp.asarray(nodes[None]),
+                       jnp.zeros((1, 24)), jnp.asarray([[root]]), cfg)
+        o_nodes, o_adj, o_t = oracle.induced_subgraph(
+            indptr, indices, picks, [root], add_self_edge=True)
+        got_adj = np.asarray(batch.adj)[0][:picks.size, :picks.size]
+        np.testing.assert_array_equal(got_adj, o_adj)
+        assert int(batch.targets[0, 0]) == o_t[0]
+        # hops vs oracle BFS
+        o_hop = oracle.bfs_hops_dense(o_adj, o_t[0])
+        got_hop = np.asarray(batch.hop)[0][:picks.size]
+        np.testing.assert_array_equal(got_hop, o_hop)
+
+
+def test_induce_target_conn_removal(small_graph, dev_graph):
+    indptr, indices = small_graph
+    # pick an existing edge as the two targets
+    v = int(np.argmax(np.diff(indptr)))
+    u = int(indices[indptr[v]])
+    picks = np.unique(np.concatenate([[v, u], indices[indptr[v]:indptr[v] + 8]]))
+    n_pad = 16
+    nodes = np.full(n_pad, 300, np.int32)
+    nodes[:picks.size] = np.sort(picks)
+    cfg = SamplerConfig(method="nodeIID", n_pad=n_pad, num_targets=2,
+                        include_target_conn=False, aug_feats=("drnls",))
+    batch = induce(dev_graph, jnp.asarray(nodes[None]), jnp.zeros((1, n_pad)),
+                   jnp.asarray([[v, u]]), cfg)
+    o_nodes, o_adj, o_t = oracle.induced_subgraph(
+        indptr, indices, picks, [v, u], include_target_conn=False)
+    got = np.asarray(batch.adj)[0][:picks.size, :picks.size]
+    np.testing.assert_array_equal(got, o_adj)
+    # drnl
+    o_drnl = oracle.drnl_dense(o_adj, o_t[0], o_t[1])
+    np.testing.assert_array_equal(np.asarray(batch.drnl)[0][:picks.size], o_drnl)
+
+
+def test_ppr_push_matches_power_ranking(small_graph):
+    """push (reference algorithm) and device power iteration agree on
+    top-neighbor rankings."""
+    indptr, indices = small_graph
+    targets = np.array([5, 17, 100])
+    k = 16
+    n_push, s_push = ppr_mod.ppr_push_host(indptr, indices, targets, k,
+                                           alpha=0.85, epsilon=1e-7,
+                                           use_native=False)
+    n_pow, s_pow = ppr_mod.ppr_power_device(indptr, indices, targets, k,
+                                            alpha=0.85, num_iter=80)
+    for i in range(len(targets)):
+        a = set(n_push[i][:8].tolist())
+        b = set(np.asarray(n_pow[i][:8]).tolist())
+        # top-8 should mostly agree (push is epsilon-approximate)
+        assert len(a & b) >= 6, (a, b)
+
+
+def test_ppr_scope_matches_oracle(small_graph, dev_graph):
+    indptr, indices = small_graph
+    k = 16
+    targets = np.array([3, 50, 200, 250])
+    neighs, scores = ppr_mod.ppr_push_host(indptr, indices, targets, k,
+                                           alpha=0.85, epsilon=1e-6,
+                                           use_native=False)
+    tab_n, tab_s = ppr_mod.ppr_topk_tables(neighs, scores, k)
+    tables = PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s))
+    cfg = SamplerConfig(method="ppr", n_pad=24, k=k, threshold=0.0)
+    roots = jnp.asarray(targets[:, None].astype(np.int32))
+    rows = jnp.arange(4)[:, None]
+    nodes, vals = sample_nodes_ppr(cfg, dev_graph, roots, rows, tables)
+    nodes = np.asarray(nodes)
+    vals = np.asarray(vals)
+    for i, t in enumerate(targets):
+        touched = oracle.ppr_scope(neighs[i], scores[i], t, k, 0.0)
+        got = set(nodes[i][nodes[i] < 300].tolist())
+        assert got == set(touched.keys())
+        # scores aligned with sorted nodes
+        for j, nd in enumerate(nodes[i]):
+            if nd < 300 and touched[int(nd)] > 0:
+                assert abs(vals[i][j] - touched[int(nd)]) < 1e-6
+
+
+def test_ppr_cache_roundtrip(tmp_path, small_graph):
+    indptr, indices = small_graph
+    targets = np.array([1, 2, 3])
+    k = 8
+    neighs, scores = ppr_mod.ppr_push_host(indptr, indices, targets, k,
+                                           alpha=0.85, epsilon=1e-5,
+                                           use_native=False)
+    fn = str(tmp_path / "neighs.bin")
+    fs = str(tmp_path / "scores.bin")
+    ppr_mod.write_ppr_cache(fn, fs, 300, targets, neighs, scores, k, 0.85, 1e-5)
+    back = ppr_mod.read_ppr_cache(fn, fs, k, 0.85, 1e-5)
+    assert back is not None
+    nv, sv = back
+    for i, t in enumerate(targets):
+        np.testing.assert_array_equal(nv[t], neighs[i])
+        np.testing.assert_allclose(sv[t], scores[i], rtol=1e-6)
+    # mismatched meta rejects
+    assert ppr_mod.read_ppr_cache(fn, fs, k + 1, 0.85, 1e-5) is None
+    assert ppr_mod.read_ppr_cache(fn, fs, k, 0.5, 1e-5) is None
+
+
+def test_khop_sampler_properties(small_graph, dev_graph):
+    indptr, indices = small_graph
+    depth, budget = 2, 5
+    cfg_d = {"method": "khop", "depth": depth, "budget": budget}
+    n_pad = default_n_pad(cfg_d)
+    cfg = SamplerConfig(method="khop", n_pad=n_pad, depth=depth, budget=budget,
+                        aug_feats=("hops",))
+    roots = np.array([[10], [42], [180]], dtype=np.int32)
+    batch = sample_subgraphs(cfg, dev_graph, jnp.asarray(roots),
+                             rng=jax.random.PRNGKey(0))
+    nodes = np.asarray(batch.nodes)
+    for i, r in enumerate(roots[:, 0]):
+        got = set(nodes[i][nodes[i] < 300].tolist())
+        support = oracle.khop_node_set_support(indptr, indices, [r], depth, budget)
+        mandatory = oracle.khop_mandatory_nodes(indptr, indices, [r], depth, budget)
+        assert got <= support
+        assert mandatory <= got
+        assert r in got
+
+
+def test_ppr_st_subset_and_target(small_graph, dev_graph):
+    indptr, indices = small_graph
+    k = 16
+    targets = np.array([3, 50])
+    neighs, scores = ppr_mod.ppr_push_host(indptr, indices, targets, k,
+                                           alpha=0.85, epsilon=1e-6,
+                                           use_native=False)
+    tab_n, tab_s = ppr_mod.ppr_topk_tables(neighs, scores, k)
+    tables = PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s))
+    cfg = SamplerConfig(method="ppr_st", n_pad=24, k=k)
+    roots = jnp.asarray(targets[:, None].astype(np.int32))
+    rows = jnp.arange(2)[:, None]
+    batch = sample_subgraphs(cfg, dev_graph, roots, rng=jax.random.PRNGKey(1),
+                             table_rows=rows, tables=tables)
+    nodes = np.asarray(batch.nodes)
+    for i, t in enumerate(targets):
+        got = set(nodes[i][nodes[i] < 300].tolist())
+        table_set = set(neighs[i].tolist()) | {int(t)}
+        assert got <= table_set
+        assert int(t) in got
+        # sample_size entries drawn (dedup may shrink by target overlap)
+        n_keep = len(oracle.ppr_scope(neighs[i], scores[i], t, k, 0.0)) - 1
+        assert len(got) >= min(n_keep, 1)
