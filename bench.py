@@ -1,0 +1,131 @@
+"""Benchmark harness: sampling + training throughput on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric is end-to-end training throughput (sampled,
+induced, and trained subgraphs per second) for the flagship config —
+3-layer GraphSAGE + PPR(k=200) on a flickr-scale synthetic graph —
+i.e. the work the reference splits between its C++/OpenMP sampling
+engine and the GPU trainer, here fused into one jitted device program.
+
+`vs_baseline`: the reference publishes no throughput numbers
+(BASELINE.md), so the baseline is the measured throughput of this
+machine's CPU running the reference-equivalent host pipeline
+(numpy subgraph extraction, same per-root semantics), scaled by the
+reference's 20-thread OpenMP parallelism assumption.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def time_host_reference_sampler(indptr, indices, tab_n, roots, k):
+    """Per-root python/numpy induction with reference semantics — the
+    stand-in for the reference's per-thread C++ work, used as baseline."""
+    t0 = time.time()
+    for r_i, r in enumerate(roots):
+        nodes = np.unique(np.concatenate([tab_n[r_i][tab_n[r_i] >= 0], [r]]))
+        pos = {int(v): i for i, v in enumerate(nodes)}
+        n = nodes.size
+        adj = np.zeros((n, n), np.float32)
+        for i, v in enumerate(nodes):
+            for u in indices[indptr[v]:indptr[v + 1]]:
+                j = pos.get(int(u))
+                if j is not None:
+                    adj[i, j] = 1.0
+    return time.time() - t0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
+    from shadow_gnn_tpu.train.config import parse_config
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu.train.pipeline import Trainer
+    from shadow_gnn_tpu import TRAIN
+
+    platform = jax.devices()[0].platform
+    # flickr-scale synthetic graph: 89k nodes, avg deg 10
+    num_nodes = 89_250
+    g = make_synthetic_dataset(num_nodes=num_nodes, avg_deg=10.0,
+                               num_feat=500, num_classes=7, seed=0,
+                               power_law=True)
+    # throughput is per-step: an 8k-root epoch measures it as well as a
+    # 44k-root one and keeps the one-time PPR precompute short
+    g.node_set[TRAIN] = g.node_set[TRAIN][:8192]
+    cfg = {
+        "data": {"transductive": True},
+        "architecture": {
+            "dim": 256, "aggr": "sage", "loss": "softmax", "num_layers": 3,
+            "act": "relu", "feature_augment": "hops", "residue": "none",
+            "pooling": "center",
+        },
+        "hyperparameter": {"end": 1, "lr": 5e-4, "dropout": 0.45,
+                           "dropedge": 0.05, "batch_size": 64},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [200],
+                     "epsilon": [1e-6]}],
+    }
+    parsed = parse_config(cfg)
+    metrics = Metrics("toy", False, "accuracy", 1)
+    logger = Logger(metrics, "/tmp/bench_log", no_log=True)
+    t_init0 = time.time()
+    os.makedirs("/tmp/shadow_bench_cache", exist_ok=True)
+    tr = Trainer("bench89k", "/tmp/shadow_bench_cache", g, parsed, metrics,
+                 logger, seed=0, use_device_ppr=False)
+    tr._ensure_tables(TRAIN)
+    t_init = time.time() - t_init0
+    print(f"[bench] init+ppr done in {t_init:.1f}s", file=sys.stderr)
+
+    # one warmup epoch (compile) + timed epochs
+    nb, roots, rows, labels, w, labels_np, w_np = tr._epoch_arrays(TRAIN)
+    fn = tr._make_epoch_fn(TRAIN, nb, True)
+    rng = jax.random.PRNGKey(0)
+    p, o = tr.params, tr.opt_state
+    t0 = time.time()
+    p, o, losses, preds = fn(p, o, rng, roots, rows, labels, w)
+    jax.block_until_ready(losses)
+    t_compile_first = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        p, o, losses, preds = fn(p, o, rng, roots, rows, labels, w)
+        jax.block_until_ready(losses)
+        times.append(time.time() - t0)
+    t_epoch = min(times)
+    num_subg = int(w_np.sum())
+    subg_per_s = num_subg / t_epoch
+
+    # baseline: host reference-equivalent sampling of 64 roots, scaled
+    tab = np.asarray(tr.tables[TRAIN][0].neighs[:64])
+    t_host = time_host_reference_sampler(
+        g.indptr_full, g.indices_full, tab,
+        np.asarray(tr.entity_set[TRAIN][:64]), 200)
+    host_subg_per_s = 64 / t_host * 20        # 20 OpenMP threads equiv
+    vs_baseline = subg_per_s / host_subg_per_s
+
+    print(json.dumps({
+        "metric": "train throughput (sample+induce+fwd+bwd), SAGE-3 PPR-200 flickr-scale",
+        "value": round(subg_per_s, 1),
+        "unit": "subgraphs/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "detail": {
+            "platform": platform,
+            "epoch_s": round(t_epoch, 3),
+            "first_epoch_incl_compile_s": round(t_compile_first, 1),
+            "init_incl_ppr_s": round(t_init, 1),
+            "subgraphs_per_epoch": num_subg,
+            "host_reference_subg_per_s_20thr": round(host_subg_per_s, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""CLI driver: train / inference on a shaDow-format dataset.
+
+Task surface mirrors reference ``shaDow/main.py`` + ``globals.py``:
+
+    python -m shadow_gnn_tpu.main --configs config_train/flickr/vanilla/sage_3_ppr.yml \
+        --dataset flickr --data_dir ./data --log_dir ./logs --seed 1
+
+    python -m shadow_gnn_tpu.main --inference_dir <run_dir> --dataset flickr ...
+
+Differences from the reference CLI: the machine meta-config (CONFIG.yml
+data/log dirs, per-dataset metric) is provided by flags with the same
+defaults; GPU selection is replaced by JAX platform selection
+(--platform cpu|tpu for debugging; default = whatever JAX picks).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import string
+import time
+import traceback
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="shaDow-GNN TPU trainer")
+    p.add_argument("--configs", type=str, default=None)
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--data_dir", type=str, default="./data")
+    p.add_argument("--log_dir", type=str, default="./logs")
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--no_log", action="store_true")
+    p.add_argument("--inference_dir", type=str, default=None)
+    p.add_argument("--inference_configs", type=str, default=None)
+    p.add_argument("--is_inf_train", action="store_true")
+    p.add_argument("--postproc_configs", type=str, default=None)
+    p.add_argument("--postproc_dir", type=str, default=None)
+    p.add_argument("--compute_complexity_only", action="store_true")
+    p.add_argument("--nocache", type=str, default=None)
+    p.add_argument("--log_test_convergence", type=int, default=-1)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (cpu for debugging)")
+    p.add_argument("--device_ppr", type=str, default="auto",
+                   choices=["auto", "device", "host"],
+                   help="PPR precompute backend")
+    p.add_argument("--matmul_precision", type=str, default=None,
+                   choices=["bfloat16", "tensorfloat32", "float32"])
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+    from shadow_gnn_tpu import TRAIN, VALID, TEST
+    from shadow_gnn_tpu.data.loader import load_data
+    from shadow_gnn_tpu.train.config import DATA_METRIC, parse_config
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu.train.pipeline import Trainer
+
+    if args.seed >= 0:
+        np.random.seed(args.seed)
+        random.seed(args.seed)
+
+    # task dispatch (reference main.py:453-463)
+    if args.inference_dir is None and args.inference_configs is None \
+            and args.postproc_configs is None:
+        task = "train"
+        config_path = args.configs
+    elif args.inference_dir is not None or args.inference_configs is not None:
+        task = "inference"
+        if args.inference_dir is not None:
+            ymls = [f for f in os.listdir(args.inference_dir)
+                    if f.rsplit(".", 1)[-1] in ("yml", "yaml")]
+            assert len(ymls) == 1, "inference dir must hold exactly one yml"
+            config_path = f"{args.inference_dir}/{ymls[0]}"
+        else:
+            config_path = args.inference_configs
+    else:
+        task = "postproc"
+        config_path = args.postproc_configs
+    print(f"# {'*' * (len(task) + 15)} #\n* PERFORM {task.upper()} TASK *")
+
+    if task == "postproc":
+        from shadow_gnn_tpu.postproc.driver import run_postproc
+        return run_postproc(args)
+
+    parsed = parse_config(config_path)
+    metric_name = DATA_METRIC.get(args.dataset, "accuracy")
+    metrics = Metrics(args.dataset, parsed["arch_gnn"]["loss"] == "sigmoid",
+                      metric_name,
+                      int(parsed["params_train"]["term_window_size"]))
+    timestamp = time.strftime("%Y-%m-%d %H-%M-%S")
+    tie = "".join(random.sample(string.ascii_letters + string.digits, 4))
+    dir_log = (f"{args.log_dir}/{args.dataset}/running/"
+               f"{timestamp.replace(' ', '_')}-RAND{tie}")
+    # archive the raw training yml into the run dir (utils.py:185-201) so
+    # --inference_dir / --postproc_dir can re-parse it later
+    import yaml as _yaml
+    with open(config_path) as _f:
+        raw_cfg_dump = _yaml.safe_load(_f)
+    logger = Logger(metrics, dir_log,
+                    term_window_size=int(parsed["params_train"]["term_window_size"]),
+                    term_window_aggr=parsed["params_train"]["term_window_aggr"],
+                    timestamp=timestamp, no_log=args.no_log,
+                    config_dump=raw_cfg_dump)
+    raw = load_data(args.data_dir, args.dataset, parsed["config_data"])
+    use_device_ppr = {"auto": None, "device": True, "host": False}[args.device_ppr]
+    trainer = Trainer(args.dataset, args.data_dir, raw, parsed, metrics,
+                      logger, seed=max(args.seed, 0),
+                      use_device_ppr=use_device_ppr,
+                      matmul_precision=args.matmul_precision)
+    print(f"TOTAL NUM OF PARAMS = "
+          f"{sum(x.size for x in __import__('jax').tree_util.tree_leaves(trainer.params))}")
+    if task == "train":
+        try:
+            trainer.train()
+            status = "finished"
+        except KeyboardInterrupt:
+            status = "killed"
+            print("Pressed CTRL-C! Stopping.")
+        except Exception:
+            status = "crashed"
+            traceback.print_exc()
+        finally:
+            logger.end_training(status)
+        return 0 if status == "finished" else 1
+    else:   # inference
+        import glob
+        pm = sorted(glob.glob(f"{args.inference_dir}/saved_model_*.msgpack"))
+        assert pm, f"no checkpoint in {args.inference_dir}"
+        trainer.params, _ = Logger.load_checkpoint(trainer.params, None, pm[-1])
+        modes = (TRAIN, VALID, TEST) if args.is_inf_train else (VALID, TEST)
+        trainer.inference(modes)
+        return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

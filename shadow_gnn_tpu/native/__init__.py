@@ -1,0 +1,68 @@
+"""ctypes loader + build-on-demand for the native host engine."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libshadow_native.so")
+_SRC = os.path.join(_DIR, "ppr.cpp")
+_lib = None
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-o", _SO, _SRC, "-lpthread"]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.isfile(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    lib.shadow_ppr_push.restype = ctypes.c_int
+    lib.shadow_ppr_push.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib = lib
+    return lib
+
+
+def ppr_push_native(indptr: np.ndarray, indices: np.ndarray,
+                    targets: np.ndarray, k: int, alpha_int: float,
+                    epsilon: float, n_threads: int = 0
+                    ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Multi-threaded forward-push PPR; same output contract as
+    ppr_push_host (per-target descending top-k lists)."""
+    lib = get_lib()
+    indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices32 = np.ascontiguousarray(indices, dtype=np.int32)
+    targets64 = np.ascontiguousarray(targets, dtype=np.int64)
+    nt = targets64.size
+    out_n = np.empty((nt, k), dtype=np.int32)
+    out_s = np.empty((nt, k), dtype=np.float32)
+    ret = lib.shadow_ppr_push(
+        indptr64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indptr64.size - 1,
+        indices32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indices32.size,
+        targets64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nt,
+        k, ctypes.c_float(alpha_int), ctypes.c_float(epsilon), n_threads,
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    assert ret == 0
+    neighs = [row[row >= 0] for row in out_n]
+    scores = [s[:n.size] for n, s in zip(neighs, out_s)]
+    return neighs, scores

@@ -69,7 +69,25 @@ def get_act(name: str) -> Callable:
         return jnp.tanh
     if name == "leakyrelu":
         return lambda x: jax.nn.leaky_relu(x, 0.2)
-    raise NotImplementedError(f"activation {name} (prelu needs param module)")
+    raise NotImplementedError(f"activation {name}")
+
+
+class Act(nn.Module):
+    """Activation as a module so PReLU can own its parameter
+    (reference F_ACT registry, layers.py:26-39; torch PReLU init 0.25).
+    'prelu+' uses one slope per output channel."""
+
+    act_name: str
+    dim_out: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        if self.act_name in ("prelu", "prelu+"):
+            n = self.dim_out if self.act_name == "prelu+" else 1
+            a = self.param("prelu_alpha",
+                           lambda k, s: jnp.full(s, 0.25, jnp.float32), (n,))
+            return jnp.where(x > 0, x, a * x)
+        return get_act(self.act_name)(x)
 
 
 def norm_feat(feat: jax.Array, scale: jax.Array, offset: jax.Array) -> jax.Array:
@@ -107,7 +125,7 @@ class _ConvBase(nn.Module):
 class GCNConv(_ConvBase):
     @nn.compact
     def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
-        f = get_act(self.act)
+        f = Act(self.act, dim_out=self.dim_out)
         x = self._dropout(feat, train)
         aggr = jnp.einsum("bij,bjf->bif", adj_norm, x)
         out = f(TorchLinear(self.dim_out)(aggr))
@@ -118,7 +136,7 @@ class GCNConv(_ConvBase):
 class SAGEConv(_ConvBase):
     @nn.compact
     def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
-        f = get_act(self.act)
+        f = Act(self.act, dim_out=self.dim_out)
         x = self._dropout(feat, train)
         h_self = f(TorchLinear(self.dim_out, use_bias=True)(x))
         neigh = jnp.einsum("bij,bjf->bif", adj_norm, x)
@@ -132,7 +150,7 @@ class SAGEConv(_ConvBase):
 class GINConv(_ConvBase):
     @nn.compact
     def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
-        f = get_act(self.act)
+        f = Act(self.act, dim_out=self.dim_out)
         x = self._dropout(feat, train)
         eps = self.param("eps", nn.initializers.zeros, (1,))
         aggr = jnp.einsum("bij,bjf->bif", adj_norm, x) + (1.0 + eps) * x
@@ -153,7 +171,7 @@ class GATConv(_ConvBase):
 
     @nn.compact
     def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
-        f = get_act(self.act)
+        f = Act(self.act, dim_out=self.dim_out)
         h = self.mulhead
         dh = self.dim_out // h
         assert self.dim_out % h == 0
@@ -190,7 +208,7 @@ class GATScatterConv(_ConvBase):
 
     @nn.compact
     def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
-        f = get_act(self.act)
+        f = Act(self.act, dim_out=self.dim_out)
         h = self.mulhead
         dh = self.dim_out // h
         x = self._dropout(feat, train)
@@ -230,7 +248,7 @@ class MLPLayer(_ConvBase):
     @nn.compact
     def __call__(self, feat, adj_norm=None, adj_struct=None, node_mask=None,
                  *, train: bool):
-        f = get_act(self.act)
+        f = Act(self.act, dim_out=self.dim_out)
         x = self._dropout(feat, train)
         out = f(TorchLinear(self.dim_out)(x))
         scale, offset = self._norm_params((self.dim_out,))

@@ -1,0 +1,89 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+The reference is single-process/single-GPU (SURVEY §2: no
+torch.distributed anywhere); this module adds the first scale-out axis
+the TPU build is designed around: the batch dimension of block-padded
+subgraph batches is sharded over a ``('dp',)`` mesh, parameters/graph/
+feature tables are replicated, and XLA's GSPMD partitioner inserts the
+gradient all-reduce (psum over ICI) automatically from the sharding
+annotations — no hand-written collectives on the DP path.
+
+Multi-host extension: the same program runs under
+``jax.distributed.initialize`` with a global mesh; the feature table can
+be row-sharded (see parallel/partition.py) for graphs whose features
+exceed one chip's HBM.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shadow_gnn_tpu.nn.model import predict_fn
+from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
+
+
+def make_mesh(n_devices: int) -> Mesh:
+    devs = np.array(jax.devices()[:n_devices])
+    return Mesh(devs, ("dp",))
+
+
+def make_dp_train_step(trainer, mode: int, n_devices: int):
+    """Returns (step_fn, shard_batch, replicate).
+
+    step_fn(params, opt_state, rng, roots, rows, labels, w) runs ONE
+    data-parallel training step: on-device sampling + induction +
+    forward/backward on each shard of the batch, gradients all-reduced
+    by GSPMD, replicated Adam update.
+    """
+    mesh = make_mesh(n_devices)
+    repl = NamedSharding(mesh, P())
+    bshard = NamedSharding(mesh, P("dp"))
+
+    def replicate(tree):
+        return jax.device_put(tree, repl)
+
+    # pin the closed-over tables/graph replicated so GSPMD doesn't have
+    # to guess a layout for the big constants
+    g = trainer.graph[mode]
+    g.indptr = jax.device_put(g.indptr, repl)
+    g.indices = jax.device_put(g.indices, repl)
+    trainer.feat_tab = jax.device_put(trainer.feat_tab, repl)
+    trainer._ensure_tables(mode)
+    for i, t in enumerate(trainer.tables[mode]):
+        if t is not None:
+            trainer.tables[mode][i] = type(t)(
+                jax.device_put(t.neighs, repl), jax.device_put(t.scores, repl))
+
+    cfg_m = trainer.model_cfg
+    model, opt = trainer.model, trainer.opt
+
+    def _step(params, opt_state, rng, roots, rows, labels, w):
+        rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+        batches, feats = trainer._sample_branch_batches(mode, roots, rows,
+                                                        r_samp)
+
+        def lf(p):
+            logits, _ = model.apply(p, batches, feats, mode_train=True,
+                                    train=True,
+                                    rngs={"dropout": r_do, "dropedge": r_de})
+            return weighted_loss_fn(cfg_m, logits, labels, w)
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = jax.jit(
+        _step,
+        in_shardings=(repl, repl, repl, bshard, bshard, bshard, bshard),
+        out_shardings=(repl, repl, repl),
+    )
+
+    def shard_batch(xs: Tuple):
+        return tuple(jax.device_put(x, bshard) for x in xs)
+
+    return step, shard_batch, replicate

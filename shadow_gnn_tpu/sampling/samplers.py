@@ -69,14 +69,20 @@ def _dedup_with_scores(ids: jax.Array, scores: jax.Array, sentinel: int,
     return ids4, sc4
 
 
-def _ppr_keep_mask(scores: jax.Array, avail: jax.Array, threshold: float
-                   ) -> jax.Array:
+def _ppr_keep_mask(scores: jax.Array, avail: jax.Array, threshold: float,
+                   k_rule: Optional[int] = None) -> jax.Array:
     """Threshold cut of cpp:583-586: keep entry i while
     scores[i]/max_ppr >= threshold, where max_ppr = scores[1] (or 0 when
-    fewer than 2 entries, which keeps nothing beyond the target)."""
+    fewer than 2 entries, which keeps nothing beyond the target).
+
+    ``k_rule`` caps the count independently of the table width — the
+    stochastic sampler counts over min(k, avail) of a 2k-entry pool
+    (cpp:611-626 with the k_required=2k table of samplers_ensemble
+    :226-238)."""
     k = scores.shape[-1]
     idx = jnp.arange(k)
-    in_range = idx[None, :] < avail[:, None]
+    cap = avail if k_rule is None else jnp.minimum(avail, k_rule)
+    in_range = idx[None, :] < cap[:, None]
     if k >= 2:
         max_ppr = jnp.where(avail > 1, scores[:, 1], 0.0)
     else:
@@ -124,10 +130,11 @@ def sample_nodes_ppr_st(cfg: SamplerConfig, graph: DeviceGraph,
     forcing inclusion is strictly more correct.
     """
     b, t = roots.shape
-    neighs = tables.neighs[table_rows.reshape(-1)]           # [B*T, k]
+    neighs = tables.neighs[table_rows.reshape(-1)]           # [B*T, 2k pool]
     scores = tables.scores[table_rows.reshape(-1)]
     avail = (neighs >= 0).sum(-1)
-    n_keep = _ppr_keep_mask(scores, avail, cfg.threshold).sum(-1)  # sample_size
+    # sample_size counts over min(k, avail); the race runs over the pool
+    n_keep = _ppr_keep_mask(scores, avail, cfg.threshold, cfg.k).sum(-1)
     u = jax.random.uniform(rng, scores.shape, minval=1e-12, maxval=1.0)
     key = jnp.where(scores > 0, jnp.log(u) / jnp.maximum(scores, 1e-30),
                     -jnp.inf)

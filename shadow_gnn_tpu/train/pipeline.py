@@ -1,0 +1,541 @@
+"""End-to-end training pipeline: data -> sampler branches -> model -> loops.
+
+The TPU-native replacement for the reference's driver + minibatch stack
+(``shaDow/main.py`` instantiate/train/one_epoch + ``minibatch.py``):
+
+* per-mode device graphs (TRAIN uses adj_train when inductive,
+  main.py:64) live in HBM;
+* each ensemble branch is a static `SamplerConfig`; PPR branches get
+  per-mode top-k tables (precomputed host-side with the reference push
+  algorithm + byte-compatible bin cache, or on-device power iteration);
+* an epoch is ONE jitted program: `lax.scan` over root batches, each
+  step sampling + inducing + forward/backward + Adam update entirely
+  on device.  There is no host-side subgraph pool/cache: deterministic
+  samplers re-derive identical subgraphs from the same tables, which
+  is what the reference's record/reuse cache achieves
+  (minibatch.py:306-342) without the host round-trip;
+* the tail batch is padded with dummy roots and masked out of the loss
+  and metrics (the reference instead shrinks the last batch).
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from shadow_gnn_tpu import MODE2STR, TRAIN, VALID, TEST
+from shadow_gnn_tpu.data.graph import DeviceGraph, RawGraph
+from shadow_gnn_tpu.nn.model import DeepGNN, ModelConfig, loss_fn, predict_fn
+from shadow_gnn_tpu.sampling import ppr as ppr_mod
+from shadow_gnn_tpu.sampling.batch import SamplerConfig, default_n_pad
+from shadow_gnn_tpu.sampling.samplers import PPRTables, sample_subgraphs
+from shadow_gnn_tpu.train.config import decouple_ensemble
+from shadow_gnn_tpu.train.logger import Logger
+from shadow_gnn_tpu.train.metrics import Metrics
+
+
+def weighted_loss_fn(cfg: ModelConfig, logits, labels, weights):
+    """Reference loss (models.py:156-166) with tail-batch padding masked
+    via per-row weights (w in {0,1})."""
+    wsum = jnp.clip(weights.sum(), 1.0, None)
+    if cfg.sigmoid_loss:
+        lab = labels.astype(logits.dtype)
+        bce = jnp.maximum(logits, 0) - logits * lab + jnp.log1p(
+            jnp.exp(-jnp.abs(logits)))
+        return (bce.mean(-1) * weights).sum() / wsum * logits.shape[-1]
+    if labels.ndim == 2:
+        labels = labels.argmax(-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return (ce * weights).sum() / wsum
+
+
+class Trainer:
+    def __init__(self, name_data: str, dir_data: str, raw: RawGraph,
+                 parsed: Dict[str, Any], metrics: Metrics, logger: Logger,
+                 seed: int = 0, use_device_ppr: Optional[bool] = None,
+                 matmul_precision: Optional[str] = None):
+        self.name_data = name_data
+        self.dir_data = dir_data
+        self.metrics = metrics
+        self.logger = logger
+        self.arch = parsed["arch_gnn"]
+        self.params_train = parsed["params_train"]
+        self.sampler_cfg_train = parsed["config_sampler_train"]
+        self.sampler_cfg_preproc = parsed["config_sampler_preproc"]
+        self.config_data = parsed["config_data"]
+        self.task = raw.prediction_task
+        self.seed = seed
+        self.rng_np = np.random.default_rng(seed)
+        self.batch_size = self.sampler_cfg_train["batch_size"]
+        self.is_transductive = raw.is_transductive
+        # device-side full graph(s)
+        self.graph = {}
+        g_full = DeviceGraph.from_csr(raw.indptr_full, raw.indices_full)
+        for m in (VALID, TEST):
+            self.graph[m] = g_full
+        if raw.indptr_train is not None:
+            self.graph[TRAIN] = DeviceGraph.from_csr(raw.indptr_train,
+                                                     raw.indices_train)
+        else:
+            self.graph[TRAIN] = g_full
+        self._host_adj = {
+            TRAIN: raw.adj(TRAIN), VALID: raw.adj(VALID), TEST: raw.adj(TEST)}
+        self.num_nodes = raw.num_nodes
+        # features / labels on device
+        self.feat_np = np.asarray(raw.feat_full, dtype=np.float32)
+        self.dim_feat_raw = self.feat_np.shape[1]
+        self.dim_feat_smooth = self.dim_feat_raw        # preproc may widen
+        self.dim_label_smooth = 0
+        self.label_np = raw.label_full
+        if self.task == "node":
+            self.entity_set = raw.node_set
+            if self.label_np.ndim == 1:
+                self.num_classes = int(self.label_np[
+                    ~np.isnan(self.label_np.astype(np.float64))].max()) + 1
+                self.label_tab = jnp.asarray(self.label_np.astype(np.int32))
+            else:
+                self.num_classes = self.label_np.shape[1]
+                self.label_tab = jnp.asarray(self.label_np.astype(np.float32))
+        else:
+            self.entity_set = raw.edge_set
+            self.num_classes = 1
+            self.label_tab = None
+        self.num_targets = 1 + (self.task == "link")
+        # preprocessing (feature/label smoothening) before the feat table
+        # is frozen — widens feat_np and sets dim_label_smooth
+        if (self.arch["feature_smoothen"] != "none"
+                or self.arch["use_label"] != "none"):
+            from shadow_gnn_tpu.train.preproc import preprocess_signals
+            self.feat_np, self.dim_feat_smooth, self.dim_label_smooth = \
+                preprocess_signals(self)
+        self.feat_tab = jnp.asarray(self.feat_np)
+        # sampler branches
+        self.branches = self._build_branches()
+        self.num_ensemble = len(self.branches)
+        # PPR tables per (mode, branch)
+        self.use_device_ppr = (use_device_ppr if use_device_ppr is not None
+                               else self.num_nodes > 200_000)
+        self.tables: Dict[int, List[Optional[PPRTables]]] = {}
+        # model
+        self.model_cfg = ModelConfig(
+            dim_feat_raw=self.dim_feat_raw,
+            dim_feat_smooth=self.dim_feat_smooth,
+            dim_label_raw=self.num_classes,
+            dim_label_smooth=self.dim_label_smooth,
+            aggr=self.arch["aggr"],
+            num_layers=self.arch["num_layers"],
+            dim=self.arch["dim"],
+            act=self.arch["act"],
+            layer_norm=self.arch["layer_norm"],
+            heads=int(self.arch["heads"]),
+            residue=self.arch["residue"],
+            pooling=self.arch["pooling"],
+            loss=self.arch["loss"],
+            num_cls_layers=self.arch["num_cls_layers"],
+            feature_augment=tuple(self.arch["feature_augment"]),
+            feature_augment_ops=self.arch["feature_augment_ops"],
+            num_ensemble=self.num_ensemble,
+            branch_sharing=self.arch["branch_sharing"],
+            ensemble_act=self.arch["ensemble_act"],
+            ensemble_dropout=self.params_train.get("ensemble_dropout", "none"),
+            prediction_task=self.task,
+            dropout=float(self.params_train["dropout"]),
+            dropedge=float(self.params_train.get("dropedge", 0.0)),
+        )
+        self.model = DeepGNN(self.model_cfg)
+        self.params = self._init_params()
+        self.opt = optax.chain(
+            optax.clip_by_global_norm(5.0),          # models.py:223
+            optax.adam(float(self.params_train["lr"])),
+        )
+        self.opt_state = self.opt.init(self.params)
+        self._epoch_fns: Dict[Tuple, Any] = {}
+        if matmul_precision:
+            jax.config.update("jax_default_matmul_precision", matmul_precision)
+
+    # ------------------------------------------------------------------
+    def _build_branches(self) -> List[Dict[str, Any]]:
+        """Decoupled per-branch sampler dicts -> static SamplerConfigs
+        (per-mode variants: ppr_st falls back to ppr for VALID/TEST,
+        minibatch.py:366-370)."""
+        decoupled = decouple_ensemble(self.sampler_cfg_train["configs"])
+        branches = []
+        aug = tuple(self.arch["feature_augment"])
+        for cfg_d in decoupled:
+            method = cfg_d["method"]
+            if method == "full":
+                raise NotImplementedError(
+                    "full-graph sampler is preprocess-phase only")
+            n_pad = default_n_pad(cfg_d, self.num_targets)
+            common = dict(
+                n_pad=n_pad,
+                num_targets=self.num_targets,
+                depth=int(cfg_d.get("depth", 2)),
+                budget=int(cfg_d.get("budget", 20)),
+                k=int(cfg_d.get("k", 200)),
+                alpha=float(cfg_d.get("alpha", 0.85)),
+                epsilon=float(cfg_d.get("epsilon", 1e-5)),
+                threshold=float(cfg_d.get("threshold", 0.0)),
+                add_self_edge=bool(cfg_d.get("add_self_edge", False)),
+                include_target_conn=(False if self.task == "link"
+                                     else bool(cfg_d.get(
+                                         "include_target_conn", False))),
+                aug_feats=aug,
+            )
+            cfg_mode = {}
+            for m in (TRAIN, VALID, TEST):
+                method_m = method
+                if m in (VALID, TEST) and method == "ppr_st":
+                    method_m = "ppr"
+                cfg_mode[m] = SamplerConfig(method=method_m, **common)
+            branches.append({"raw": cfg_d, "cfg": cfg_mode})
+        return branches
+
+    # ------------------------------------------------------------------
+    def _ppr_targets(self, mode: int) -> np.ndarray:
+        """Which nodes need PPR rows (minibatch.py:383-389): the mode's
+        node set for node tasks; ALL nodes for link tasks."""
+        if self.task == "node":
+            return np.asarray(self.entity_set[mode], dtype=np.int64)
+        return np.arange(self.num_nodes, dtype=np.int64)
+
+    def _ensure_tables(self, mode: int):
+        if mode in self.tables:
+            return
+        self.tables[mode] = []
+        for br in self.branches:
+            cfg = br["cfg"][mode]
+            if cfg.method not in ("ppr", "ppr_st"):
+                self.tables[mode].append(None)
+                continue
+            # stochastic PPR samples from a 2k pool (ensemble :226-238)
+            k_tab = cfg.k * (2 if br["cfg"][TRAIN].method == "ppr_st" else 1)
+            targets = self._ppr_targets(mode)
+            neighs, scores = self._compute_ppr(mode, cfg, k_tab, targets)
+            tab_n, tab_s = ppr_mod.ppr_topk_tables(neighs, scores, k_tab)
+            if self.task == "link":
+                # rows indexed by node id directly
+                full_n = np.full((self.num_nodes, k_tab), -1, np.int32)
+                full_s = np.zeros((self.num_nodes, k_tab), np.float32)
+                full_n[targets] = tab_n
+                full_s[targets] = tab_s
+                tab_n, tab_s = full_n, full_s
+            self.tables[mode].append(
+                PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s)))
+
+    def _compute_ppr(self, mode: int, cfg: SamplerConfig, k_tab: int,
+                     targets: np.ndarray):
+        """Compute or load cached PPR lists for one mode, honoring the
+        reference's cache naming + reuse-larger-k contract."""
+        indptr, indices = self._host_adj[mode]
+        mode_for_file = mode if self.task == "node" else mode
+        fn, fs = ppr_mod.find_ppr_cache(
+            self.dir_data, self.name_data, self.is_transductive,
+            MODE2STR[mode_for_file], cfg.alpha, cfg.epsilon, k_tab)
+        if fn:
+            cached = ppr_mod.read_ppr_cache(fn, fs, k_tab, cfg.alpha,
+                                            cfg.epsilon)
+            if cached is not None:
+                nv, sv = cached
+                return [nv[t] for t in targets], [sv[t] for t in targets]
+        t0 = time.time()
+        if self.use_device_ppr:
+            neighs, scores = ppr_mod.ppr_power_device(
+                indptr, indices, targets, k_tab, cfg.alpha)
+        else:
+            neighs, scores = ppr_mod.ppr_push_host(
+                indptr, indices, targets, k_tab, cfg.alpha, cfg.epsilon)
+        print(f"PPR precompute [{MODE2STR[mode]}] {targets.size} targets "
+              f"in {time.time() - t0:.1f}s")
+        if self.dir_data:
+            fn, fs = ppr_mod.ppr_cache_paths(
+                self.dir_data, self.name_data, self.is_transductive,
+                MODE2STR[mode_for_file], cfg.alpha, cfg.epsilon, k_tab)
+            try:
+                ppr_mod.write_ppr_cache(fn, fs, self.num_nodes, targets,
+                                        neighs, scores, k_tab, cfg.alpha,
+                                        cfg.epsilon)
+            except OSError:
+                pass
+        return neighs, scores
+
+    # ------------------------------------------------------------------
+    def _init_params(self):
+        rng = jax.random.PRNGKey(self.seed)
+        b, t = 2, self.num_targets
+        dummy_batches, dummy_feats = [], []
+        for br in self.branches:
+            cfg = br["cfg"][TRAIN]
+            n = cfg.n_pad
+            from shadow_gnn_tpu.sampling.batch import SubgraphBatch
+            dummy_batches.append(SubgraphBatch(
+                nodes=jnp.zeros((b, n), jnp.int32),
+                node_mask=jnp.ones((b, n), bool),
+                adj=jnp.zeros((b, n, n), jnp.float32),
+                targets=jnp.zeros((b, t), jnp.int32),
+                size=jnp.full((b,), n, jnp.int32),
+                hop=jnp.zeros((b, n), jnp.int32),
+                ppr=jnp.zeros((b, n), jnp.float32),
+                drnl=jnp.zeros((b, n), jnp.int32),
+            ))
+            dummy_feats.append(jnp.zeros(
+                (b, n, self.dim_feat_smooth + self.dim_label_smooth),
+                jnp.float32))
+        return self.model.init(
+            {"params": rng, "dropout": rng, "dropedge": rng},
+            dummy_batches, dummy_feats, mode_train=False, train=False)
+
+    # ------------------------------------------------------------------
+    def _sample_branch_batches(self, mode: int, roots, rows, rng):
+        batches, feats = [], []
+        for i, br in enumerate(self.branches):
+            cfg = br["cfg"][mode]
+            rng, sub = jax.random.split(rng)
+            tabs = self.tables[mode][i]
+            batch = sample_subgraphs(cfg, self.graph[mode], roots, rng=sub,
+                                     table_rows=rows, tables=tabs)
+            feat = self.feat_tab[jnp.clip(batch.nodes, 0,
+                                          self.num_nodes - 1)]
+            batches.append(batch)
+            feats.append(feat)
+        return batches, feats
+
+    def _make_epoch_fn(self, mode: int, nb: int, train: bool):
+        """Build the jitted scan-over-batches epoch program."""
+        model, opt, cfg_m = self.model, self.opt, self.model_cfg
+
+        def train_step(carry, xs):
+            params, opt_state, rng = carry
+            roots, rows, labels, w = xs
+            rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+            batches, feats = self._sample_branch_batches(mode, roots, rows,
+                                                         r_samp)
+
+            def lf(p):
+                logits, _ = model.apply(
+                    p, batches, feats, mode_train=True, train=True,
+                    rngs={"dropout": r_do, "dropedge": r_de})
+                return weighted_loss_fn(cfg_m, logits, labels, w), logits
+
+            (loss, logits), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            preds = predict_fn(cfg_m, logits)
+            return (params, opt_state, rng), (loss, preds)
+
+        def eval_step(carry, xs):
+            params, rng = carry
+            roots, rows, labels, w = xs
+            rng, r_samp = jax.random.split(rng)
+            batches, feats = self._sample_branch_batches(mode, roots, rows,
+                                                         r_samp)
+            logits, _ = model.apply(params, batches, feats,
+                                    mode_train=False, train=False)
+            loss = weighted_loss_fn(cfg_m, logits, labels, w)
+            return (params, rng), (loss, predict_fn(cfg_m, logits))
+
+        if train:
+            @jax.jit
+            def epoch(params, opt_state, rng, roots, rows, labels, w):
+                (params, opt_state, _), (losses, preds) = jax.lax.scan(
+                    train_step, (params, opt_state, rng),
+                    (roots, rows, labels, w))
+                return params, opt_state, losses, preds
+            return epoch
+
+        @jax.jit
+        def epoch_e(params, rng, roots, rows, labels, w):
+            _, (losses, preds) = jax.lax.scan(
+                eval_step, (params, rng), (roots, rows, labels, w))
+            return losses, preds
+        return epoch_e
+
+    # ------------------------------------------------------------------
+    def _epoch_arrays(self, mode: int):
+        """Shuffled, percent-sampled, batch-padded root/row/label arrays."""
+        b = self.batch_size
+        if self.task == "node":
+            ent = np.asarray(self.entity_set[mode])
+            perm = self.rng_np.permutation(ent.size)
+            pct = float(self.params_train["percent_per_epoch"][MODE2STR[mode]])
+            if pct < 1.0:
+                perm = perm[:int(np.ceil(pct * perm.size))]
+            roots = ent[perm][:, None]                        # [M, 1]
+            rows = perm[:, None]                              # table rows
+            labels = self.label_np[ent[perm]]
+        else:
+            es = self.entity_set[mode]
+            pos = es["pos"]
+            if "neg" in es:
+                neg = es["neg"]
+            else:
+                neg = self._negative_sample(pos.shape[0])
+            edges = np.concatenate([pos, neg], 0)
+            labels = np.repeat([1.0, 0.0],
+                               [pos.shape[0], neg.shape[0]])[:, None]
+            perm = self.rng_np.permutation(edges.shape[0])
+            pct = float(self.params_train["percent_per_epoch"][MODE2STR[mode]])
+            if pct < 1.0:
+                perm = perm[:int(np.ceil(pct * perm.size))]
+            roots = edges[perm]                               # [M, 2]
+            rows = roots                                      # row = node id
+            labels = labels[perm]
+        m = roots.shape[0]
+        nb = -(-m // b)
+        pad = nb * b - m
+        w = np.concatenate([np.ones(m, np.float32), np.zeros(pad, np.float32)])
+        roots = np.concatenate([roots, np.repeat(roots[:1], pad, 0)])
+        rows = np.concatenate([rows, np.repeat(rows[:1], pad, 0)])
+        labels = np.concatenate([labels, np.repeat(labels[:1], pad, 0)])
+        t = self.num_targets
+        shape_lab = (nb, b) + labels.shape[1:]
+        if self.task == "node" and labels.ndim == 1:
+            lab_dev = jnp.asarray(labels.reshape(nb, b).astype(np.int32))
+        else:
+            lab_dev = jnp.asarray(labels.reshape(shape_lab).astype(np.float32))
+        return (nb,
+                jnp.asarray(roots.reshape(nb, b, t).astype(np.int32)),
+                jnp.asarray(rows.reshape(nb, b, t).astype(np.int32)),
+                lab_dev,
+                jnp.asarray(w.reshape(nb, b)),
+                labels, w)
+
+    def _negative_sample(self, n: int) -> np.ndarray:
+        """Uniform negative edges avoiding existing train edges + self
+        loops (minibatch.py:287-293 via PyG negative_sampling)."""
+        indptr, indices = self._host_adj[TRAIN]
+        out = np.empty((0, 2), np.int64)
+        while out.shape[0] < n:
+            cand = self.rng_np.integers(0, self.num_nodes,
+                                        size=(2 * n, 2)).astype(np.int64)
+            cand = cand[cand[:, 0] != cand[:, 1]]
+            # membership test against CSR rows
+            lo = indptr[cand[:, 0]]
+            hi = indptr[cand[:, 0] + 1]
+            exists = np.zeros(cand.shape[0], bool)
+            # vectorized binary search per candidate
+            for _ in range(1):
+                pos = np.array([np.searchsorted(indices[l:h], d) + l
+                                for l, h, d in zip(lo, hi, cand[:, 1])])
+                inr = pos < hi
+                exists[inr] = indices[np.minimum(pos[inr],
+                                                 indices.size - 1)] == cand[inr, 1]
+            out = np.concatenate([out, cand[~exists]])
+        return out[:n]
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, epoch: int, mode: int, status: str = "running"):
+        self._ensure_tables(mode)
+        train = (mode == TRAIN and status == "running")
+        (nb, roots, rows, labels_dev, w_dev, labels_np, w_np) = \
+            self._epoch_arrays(mode)
+        key = (mode, nb, train)
+        if key not in self._epoch_fns:
+            self._epoch_fns[key] = self._make_epoch_fn(mode, nb, train)
+        fn = self._epoch_fns[key]
+        rng = jax.random.PRNGKey(self.rng_np.integers(1 << 31))
+        t0 = time.time()
+        if train:
+            self.params, self.opt_state, losses, preds = fn(
+                self.params, self.opt_state, rng, roots, rows, labels_dev,
+                w_dev)
+        else:
+            losses, preds = fn(self.params, rng, roots, rows, labels_dev,
+                               w_dev)
+        losses = np.asarray(losses)
+        preds = np.asarray(preds).reshape(-1, preds.shape[-1])
+        t1 = time.time()
+        # metrics on host over valid rows
+        valid = w_np > 0
+        y_pred = preds[valid]
+        y_true = labels_np[valid]
+        if self.task == "node" and y_true.ndim == 1:
+            y_true = np.eye(self.num_classes, dtype=np.float32)[
+                y_true.astype(np.int64)]
+        stats = {"loss": float(losses.mean())}
+        stats.update(self.metrics.calc(y_true, y_pred))
+        self.logger.log_epoch(mode, epoch, stats, status=status,
+                              time_s=t1 - t0)
+        return stats
+
+    # ------------------------------------------------------------------
+    def train(self):
+        max_epoch = int(self.params_train["end"])
+        for e in range(max_epoch):
+            self.run_epoch(e, TRAIN)
+            self.run_epoch(e, VALID)
+            self.logger.update_best_model(e, self.params, self.opt_state)
+        print("=" * 22 + "\nOptimization Finished!\n" + "=" * 22)
+        best_params, best_opt = self.logger.restore_model(self.params,
+                                                          self.opt_state)
+        if best_params is not None:
+            self.params = best_params
+        for md in (TRAIN, VALID, TEST):
+            stats = self.run_epoch(max_epoch, md, status="final")
+            self.logger.log_final(md, stats)
+        return self.logger.final_stats
+
+    def predict_full(self, modes=(TRAIN, VALID, TEST)) -> np.ndarray:
+        """Full-graph prediction matrix pred_mat[raw node id] = probs,
+        for C&S postprocessing (reference main.py:237-249)."""
+        assert self.task == "node"
+        pred_mat = np.zeros((self.num_nodes, self.num_classes), np.float32)
+        for md in modes:
+            self._ensure_tables(md)
+            (nb, roots, rows, labels_dev, w_dev, labels_np, w_np) = \
+                self._epoch_arrays(md)
+            key = (md, nb, False)
+            if key not in self._epoch_fns:
+                self._epoch_fns[key] = self._make_epoch_fn(md, nb, False)
+            losses, preds = self._epoch_fns[key](
+                self.params, jax.random.PRNGKey(0), roots, rows, labels_dev,
+                w_dev)
+            preds = np.asarray(preds).reshape(-1, self.num_classes)
+            r = np.asarray(roots).reshape(-1, self.num_targets)[:, 0]
+            valid = w_np > 0
+            pred_mat[r[valid]] = preds[valid]
+        return pred_mat
+
+    def embed_full(self, modes=(TRAIN, VALID, TEST)) -> List[np.ndarray]:
+        """Per-branch embedding matrices emb[raw node id] for the
+        subgraph-ensemble postprocessing (reference main.py:270-282)."""
+        assert self.task == "node"
+        embs = [np.zeros((self.num_nodes, self.model_cfg.dim), np.float32)
+                for _ in range(self.num_ensemble)]
+        model = self.model
+
+        def make_emb_step(md):
+            @jax.jit
+            def emb_step(params, roots, rows):
+                batches, feats = self._sample_branch_batches(
+                    md, roots, rows, jax.random.PRNGKey(0))
+                _, emb_ens = model.apply(params, batches, feats,
+                                         mode_train=False, train=False)
+                return emb_ens
+            return emb_step
+
+        for md in modes:
+            emb_step = make_emb_step(md)
+            self._ensure_tables(md)
+            (nb, roots, rows, _labels, _w, _ln, w_np) = self._epoch_arrays(md)
+            w_np = w_np.reshape(nb, -1)
+            for ib in range(nb):
+                emb_ens = emb_step(self.params, roots[ib], rows[ib])
+                r = np.asarray(roots[ib])[:, 0]
+                valid = w_np[ib] > 0
+                for i, e in enumerate(emb_ens):
+                    embs[i][r[valid]] = np.asarray(e)[valid]
+        return embs
+
+    def inference(self, modes=(VALID, TEST)):
+        for md in modes:
+            stats = self.run_epoch(0, md, status="final")
+            self.logger.log_final(md, stats)
+        return self.logger.final_summary()

@@ -7,7 +7,12 @@ oracles + mesh-of-N degeneracy checks on the host platform.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the session env pins JAX_PLATFORMS=axon (remote TPU tunnel),
+# which makes eager micro-op tests pathologically slow; the axon
+# sitecustomize overrides the env var, so set the config flag too
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

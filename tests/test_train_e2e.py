@@ -1,0 +1,156 @@
+"""End-to-end training on synthetic data: learns above chance, CLI works,
+checkpoints round-trip."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from shadow_gnn_tpu import TRAIN, VALID, TEST
+from shadow_gnn_tpu.data import make_synthetic_dataset, save_shadow_format, load_data
+from shadow_gnn_tpu.train.config import parse_config
+from shadow_gnn_tpu.train.logger import Logger
+from shadow_gnn_tpu.train.metrics import Metrics
+from shadow_gnn_tpu.train.pipeline import Trainer
+
+
+BASE_CONFIG = {
+    "data": {"to_undirected": False, "transductive": True},
+    "architecture": {
+        "dim": 32, "aggr": "sage", "loss": "softmax", "num_layers": 2,
+        "act": "relu", "feature_augment": "hops", "residue": "none",
+        "pooling": "center",
+    },
+    "hyperparameter": {
+        "end": 5, "lr": 0.01, "dropout": 0.1, "dropedge": 0.05,
+        "batch_size": 32,
+    },
+    "sampler": [{"method": "ppr", "phase": "train", "k": [16],
+                 "epsilon": [1e-5]}],
+}
+
+
+def make_trainer(tmp_path, cfg_dict, seed=0, **ds_kw):
+    g = make_synthetic_dataset(num_nodes=600, avg_deg=8, num_feat=16,
+                               num_classes=5, seed=3, **ds_kw)
+    parsed = parse_config(cfg_dict)
+    metric_name = "hits20" if g.prediction_task == "link" else "accuracy"
+    metrics = Metrics("toy", parsed["arch_gnn"]["loss"] == "sigmoid",
+                      metric_name, 1)
+    logger = Logger(metrics, str(tmp_path / "log"), no_log=False)
+    return Trainer("toy", str(tmp_path), g, parsed, metrics, logger,
+                   seed=seed, use_device_ppr=False)
+
+
+def test_training_learns(tmp_path):
+    tr = make_trainer(tmp_path, BASE_CONFIG)
+    tr.train()
+    acc = tr.logger.final_stats[TEST]["accuracy"]
+    assert acc > 0.5, f"synthetic accuracy too low: {acc}"   # chance = 0.2
+    # CSV artifacts
+    for f in ("epoch_train.csv", "epoch_valid.csv", "final.csv"):
+        assert os.path.isfile(tmp_path / "log" / f)
+    # checkpoint exists and loads back into an equivalent param tree
+    import glob
+    ckpts = glob.glob(str(tmp_path / "log" / "saved_model_*.msgpack"))
+    assert ckpts
+    params2, _ = Logger.load_checkpoint(tr.params, None, ckpts[0])
+    stats_before = tr.run_epoch(99, TEST, status="final")
+    tr.params = params2
+    stats_after = tr.run_epoch(99, TEST, status="final")
+    assert abs(stats_before["accuracy"] - stats_after["accuracy"]) < 1e-6
+
+
+@pytest.mark.parametrize("aggr,extra", [
+    ("gcn", {}),
+    ("gat", {"heads": 2}),
+    ("gin", {}),
+])
+def test_backbones_run(tmp_path, aggr, extra):
+    cfg = {**BASE_CONFIG,
+           "architecture": {**BASE_CONFIG["architecture"], "aggr": aggr,
+                            **extra},
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+    tr = make_trainer(tmp_path, cfg)
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
+
+
+def test_khop_sampler_training(tmp_path):
+    cfg = {**BASE_CONFIG,
+           "sampler": [{"method": "khop", "phase": "train", "depth": [2],
+                        "budget": [5]}],
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+    tr = make_trainer(tmp_path, cfg)
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
+
+
+def test_ensemble_branches(tmp_path):
+    cfg = {**BASE_CONFIG,
+           "sampler": [{"method": "ppr", "phase": "train", "k": [16, 8],
+                        "epsilon": [1e-5, 1e-5]}],
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+    tr = make_trainer(tmp_path, cfg)
+    assert tr.num_ensemble == 2
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
+
+
+def test_link_prediction(tmp_path):
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {
+            "dim": 32, "aggr": "sage", "loss": "sigmoid", "num_layers": 2,
+            "act": "relu", "feature_augment": "drnls", "residue": "concat",
+            "pooling": "sort-8",
+        },
+        "hyperparameter": {"end": 2, "lr": 0.01, "dropout": 0.1,
+                           "dropedge": 0.0, "batch_size": 16},
+        "sampler": [{"method": "ppr_st", "phase": "train", "k": [12],
+                     "epsilon": [1e-5], "threshold": [0.01]}],
+    }
+    tr = make_trainer(tmp_path, cfg, task="link")
+    assert tr.task == "link"
+    tr.train()
+    assert "hits20" in tr.logger.final_stats[TEST]
+
+
+def test_label_use_and_smoothen(tmp_path):
+    cfg = {**BASE_CONFIG,
+           "architecture": {**BASE_CONFIG["architecture"],
+                            "use_label": "no_valid",
+                            "feature_smoothen": "sym-2-concat"},
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+    tr = make_trainer(tmp_path, cfg)
+    assert tr.dim_feat_smooth == 16 * 3      # order-2 concat
+    assert tr.dim_label_smooth == 5
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
+
+
+def test_cli_end_to_end(tmp_path):
+    g = make_synthetic_dataset(num_nodes=400, avg_deg=6, num_feat=8,
+                               num_classes=4, seed=1)
+    save_shadow_format(str(tmp_path / "data"), "toy", indptr=g.indptr_full,
+                       indices=g.indices_full, feat=g.feat_full,
+                       label=g.label_full, node_set=g.node_set)
+    import yaml
+    cfg = {**BASE_CONFIG,
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+    with open(tmp_path / "toy.yml", "w") as f:
+        yaml.dump(cfg, f)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "shadow_gnn_tpu.main",
+         "--configs", str(tmp_path / "toy.yml"), "--dataset", "toy",
+         "--data_dir", str(tmp_path / "data"),
+         "--log_dir", str(tmp_path / "logs"), "--seed", "1",
+         "--platform", "cpu", "--device_ppr", "host"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "FINAL SUMMARY:" in r.stdout
+    finished = list((tmp_path / "logs" / "toy" / "finished").iterdir())
+    assert len(finished) == 1
