@@ -116,6 +116,12 @@ def main(argv=None):
                       matmul_precision=args.matmul_precision)
     print(f"TOTAL NUM OF PARAMS = "
           f"{sum(x.size for x in __import__('jax').tree_util.tree_leaves(trainer.params))}")
+    if args.nocache:
+        from shadow_gnn_tpu import STR2MODE
+        modes = ((TRAIN, VALID, TEST) if args.nocache.lower() == "all"
+                 else (STR2MODE[args.nocache.lower()],))
+        for m in modes:
+            trainer.disable_cache(m)
     if task == "train":
         try:
             trainer.train()

@@ -42,6 +42,7 @@ class SubgraphBatch(NamedTuple):
     hop: jax.Array
     ppr: jax.Array
     drnl: jax.Array
+    overflow: jax.Array = jnp.zeros((), jnp.int32)
 
     @property
     def batch_size(self):
@@ -75,6 +76,11 @@ class SamplerConfig:
     # induction flags
     add_self_edge: bool = False
     include_target_conn: bool = False
+    # induction strategy: 'cand' (candidate-edge gather, work ~ sum(deg),
+    # needs cand_cap > 0) or 'search' (pairwise binary search, exact for
+    # any cap).  cand_cap is the static per-subgraph candidate budget.
+    induction: str = "search"
+    cand_cap: int = 0
     # feature augmentation to compute ('hops'/'pprs'/'drnls')
     aug_feats: Tuple[str, ...] = ()
 

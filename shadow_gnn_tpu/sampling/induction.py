@@ -62,6 +62,64 @@ def membership_matrix(graph: DeviceGraph, nodes: jax.Array) -> jax.Array:
     return (found & col_valid & row_valid[:, :, None]).astype(jnp.float32)
 
 
+def membership_matrix_cand(graph: DeviceGraph, nodes: jax.Array,
+                           cand_cap: int) -> tuple:
+    """Candidate-edge induction: adj via one gather per graph edge
+    incident to a subgraph node (work proportional to sum-of-degrees,
+    like the reference's per-thread hash loop cpp:378-427, instead of
+    the O(N^2 log deg) pairwise search of :func:`membership_matrix`).
+
+    For each subgraph, every out-edge of every member node is a
+    candidate; its endpoint is located in the sorted node table by a
+    VMEM-resident binary search, hits are scattered into the dense
+    block.  ``cand_cap`` statically bounds candidates per subgraph;
+    candidates beyond the cap are dropped and counted in the returned
+    ``overflow`` (callers size the cap exactly for deterministic
+    samplers, or generously + monitor for stochastic ones).
+
+    Returns (adj [B,N,N] f32, overflow [] int32).
+    """
+    n_id = graph.num_nodes
+    b, n = nodes.shape
+    u = jnp.minimum(nodes, n_id - 1)
+    row_valid = nodes < n_id
+    lo = jnp.where(row_valid, graph.indptr[u], 0)
+    deg = jnp.where(row_valid, graph.indptr[u + 1] - lo, 0)
+    csum = jnp.cumsum(deg, axis=-1)                     # inclusive [B, N]
+    total = csum[:, -1]
+    overflow = jnp.maximum(total - cand_cap, 0).sum().astype(jnp.int32)
+
+    e = jnp.arange(cand_cap, dtype=csum.dtype)[None, :]       # [1, E]
+    # method='compare_all': the sorted tables are tiny (N entries) so the
+    # all-pairs comparison vectorizes on the VPU; the default 'scan'
+    # method serializes log(N) dependent gathers per query
+    owner = jax.vmap(lambda c, q: jnp.searchsorted(
+        c, q, side="right", method="compare_all"))(
+        csum, jnp.broadcast_to(e, (b, cand_cap)))             # [B, E]
+    owner_c = jnp.minimum(owner, n - 1)
+    start = jnp.where(owner_c > 0,
+                      jnp.take_along_axis(csum, jnp.maximum(owner_c - 1, 0),
+                                          axis=-1), 0)
+    within = e - start
+    pos = jnp.take_along_axis(lo, owner_c, axis=-1) + within
+    valid = e < total[:, None]
+    nbr = graph.indices[jnp.clip(pos, 0, graph.num_edges - 1)]
+    loc = jax.vmap(lambda t, q: jnp.searchsorted(
+        t, q, method="compare_all"))(nodes, nbr)              # [B, E]
+    loc_c = jnp.minimum(loc, n - 1)
+    hit = valid & (jnp.take_along_axis(nodes, loc_c, axis=-1) == nbr)
+    # candidates -> dense block via one-hot matmul: TPU scatters
+    # serialize, but U^T V rides the MXU.
+    # U[b,e,i] = [owner(e) == i], V[b,e,j] = hit(e) * [loc(e) == j]
+    ar = jnp.arange(n, dtype=owner_c.dtype)
+    u = (owner_c[:, :, None] == ar).astype(jnp.bfloat16)
+    v = (jnp.where(hit, loc_c, n)[:, :, None] == ar).astype(jnp.bfloat16)
+    adj = jnp.einsum("bei,bej->bij", u, v,
+                     preferred_element_type=jnp.float32)
+    adj = (adj > 0).astype(jnp.float32)     # dup graph edges -> 1
+    return adj * row_valid[:, :, None], overflow
+
+
 def bfs_hops(adj: jax.Array, start_local: jax.Array, node_mask: jax.Array
              ) -> jax.Array:
     """Batched BFS distance from a start node over dense blocks.
@@ -117,10 +175,15 @@ def induce(graph: DeviceGraph, nodes: jax.Array, ppr_vals: jax.Array,
     node_mask = nodes < n_id
     size = node_mask.sum(-1).astype(jnp.int32)
 
-    adj = membership_matrix(graph, nodes)
+    if cfg.induction == "cand" and cfg.cand_cap > 0:
+        adj, overflow = membership_matrix_cand(graph, nodes, cfg.cand_cap)
+    else:
+        adj = membership_matrix(graph, nodes)
+        overflow = jnp.zeros((), jnp.int32)
 
     # local target indices via binary search in the sorted node table
-    targets = jax.vmap(jnp.searchsorted)(nodes, roots).astype(jnp.int32)
+    targets = jax.vmap(lambda t, q: jnp.searchsorted(
+        t, q, method="compare_all"))(nodes, roots).astype(jnp.int32)
 
     # remove target<->target edges (cpp:356-358: forced kept for T==1;
     # cpp:412-418: removed otherwise unless include_target_conn)
@@ -152,4 +215,5 @@ def induce(graph: DeviceGraph, nodes: jax.Array, ppr_vals: jax.Array,
         hop=hop,
         ppr=ppr_vals,
         drnl=drnl,
+        overflow=overflow,
     )

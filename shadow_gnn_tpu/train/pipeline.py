@@ -123,6 +123,13 @@ class Trainer:
         self.use_device_ppr = (use_device_ppr if use_device_ppr is not None
                                else self.num_nodes > 200_000)
         self.tables: Dict[int, List[Optional[PPRTables]]] = {}
+        # device subgraph cache (deterministic samplers only; the
+        # reference's record/reuse machinery, minibatch.py:306-342).
+        # link tasks never cache (minibatch.py:213).
+        self.caches: Dict[int, list] = {}
+        self.nocache_modes = set() if self.task == "node" else {TRAIN, VALID,
+                                                                TEST}
+        self.cache_budget_bytes = 2 << 30
         # model
         self.model_cfg = ModelConfig(
             dim_feat_raw=self.dim_feat_raw,
@@ -194,7 +201,17 @@ class Trainer:
                 method_m = method
                 if m in (VALID, TEST) and method == "ppr_st":
                     method_m = "ppr"
-                cfg_mode[m] = SamplerConfig(method=method_m, **common)
+                induction, cap = "search", 0
+                if method == "khop":
+                    # candidate-edge induction with an estimated cap:
+                    # E[deg of a sampled node] is size-biased; x3 slack,
+                    # runtime overflow is monitored per epoch
+                    deg = np.diff(self._host_adj[m][0]).astype(np.float64)
+                    biased = float((deg ** 2).sum() / max(deg.sum(), 1))
+                    est = min(float(deg.max()), 3.0 * biased + 16.0)
+                    induction, cap = "cand", int(n_pad * est)
+                cfg_mode[m] = SamplerConfig(method=method_m, induction=induction,
+                                            cand_cap=cap, **common)
             branches.append({"raw": cfg_d, "cfg": cfg_mode})
         return branches
 
@@ -227,6 +244,15 @@ class Trainer:
                 full_n[targets] = tab_n
                 full_s[targets] = tab_s
                 tab_n, tab_s = full_n, full_s
+            # deterministic scope -> exact candidate-edge cap:
+            # max over roots of deg(root) + sum(deg(table row))
+            deg = np.diff(self._host_adj[mode][0]).astype(np.int64)
+            row_deg = (deg[np.clip(tab_n, 0, self.num_nodes - 1)]
+                       * (tab_n >= 0)).sum(1)
+            cap = int(deg[targets].max() + row_deg.max()) * self.num_targets
+            import dataclasses as _dc
+            br["cfg"][mode] = _dc.replace(br["cfg"][mode], induction="cand",
+                                          cand_cap=cap + 8)
             self.tables[mode].append(
                 PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s)))
 
@@ -294,18 +320,64 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _sample_branch_batches(self, mode: int, roots, rows, rng):
+        from shadow_gnn_tpu.sampling.cache import gather_batch
         batches, feats = [], []
+        caches = self.caches.get(mode, [None] * self.num_ensemble)
         for i, br in enumerate(self.branches):
             cfg = br["cfg"][mode]
             rng, sub = jax.random.split(rng)
-            tabs = self.tables[mode][i]
-            batch = sample_subgraphs(cfg, self.graph[mode], roots, rng=sub,
-                                     table_rows=rows, tables=tabs)
+            if caches[i] is not None:
+                batch = gather_batch(caches[i], rows[:, 0])
+            else:
+                tabs = self.tables[mode][i]
+                batch = sample_subgraphs(cfg, self.graph[mode], roots,
+                                         rng=sub, table_rows=rows,
+                                         tables=tabs)
             feat = self.feat_tab[jnp.clip(batch.nodes, 0,
                                           self.num_nodes - 1)]
             batches.append(batch)
             feats.append(feat)
         return batches, feats
+
+    def _ensure_caches(self, mode: int):
+        """Build the per-branch device subgraph cache (deterministic
+        samplers only, memory-gated)."""
+        from shadow_gnn_tpu.sampling import cache as cache_mod
+        if mode in self.caches or mode in self.nocache_modes:
+            self.caches.setdefault(mode, [None] * self.num_ensemble)
+            return
+        self.caches[mode] = [None] * self.num_ensemble
+        ent = np.asarray(self.entity_set[mode])
+        for i, br in enumerate(self.branches):
+            cfg = br["cfg"][mode]
+            if cfg.method != "ppr":      # REUSABLE_SAMPLER = {ppr}
+                continue
+            est = cache_mod.estimate_bytes(ent.size, cfg.n_pad)
+            if est > self.cache_budget_bytes:
+                print(f"[cache] branch {i} mode {MODE2STR[mode]}: "
+                      f"{est / 1e9:.1f}GB exceeds budget, resampling")
+                continue
+            roots_all = ent[:, None].astype(np.int32)
+            rows_all = np.arange(ent.size, dtype=np.int32)[:, None]
+            graph, tabs = self.graph[mode], self.tables[mode][i]
+
+            def sample_fn(r, rw, cfg=cfg, graph=graph, tabs=tabs):
+                return sample_subgraphs(cfg, graph, r, rng=jax.random.PRNGKey(0),
+                                        table_rows=rw, tables=tabs)
+
+            t0 = time.time()
+            self.caches[mode][i] = cache_mod.build_cache(
+                sample_fn, ent.size, roots_all, rows_all, cfg,
+                self.num_nodes)
+            print(f"[cache] built branch {i} {MODE2STR[mode]}: "
+                  f"{ent.size} subgraphs, {est / 1e6:.0f}MB, "
+                  f"{time.time() - t0:.1f}s")
+
+    def disable_cache(self, mode: int):
+        """reference minibatch.disable_cache (inference path)."""
+        self.nocache_modes.add(mode)
+        self.caches.pop(mode, None)
+        self.caches[mode] = [None] * self.num_ensemble
 
     def _make_epoch_fn(self, mode: int, nb: int, train: bool):
         """Build the jitted scan-over-batches epoch program."""
@@ -328,7 +400,8 @@ class Trainer:
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             preds = predict_fn(cfg_m, logits)
-            return (params, opt_state, rng), (loss, preds)
+            ovf = sum(b.overflow for b in batches)
+            return (params, opt_state, rng), (loss, preds, ovf)
 
         def eval_step(carry, xs):
             params, rng = carry
@@ -339,22 +412,23 @@ class Trainer:
             logits, _ = model.apply(params, batches, feats,
                                     mode_train=False, train=False)
             loss = weighted_loss_fn(cfg_m, logits, labels, w)
-            return (params, rng), (loss, predict_fn(cfg_m, logits))
+            ovf = sum(b.overflow for b in batches)
+            return (params, rng), (loss, predict_fn(cfg_m, logits), ovf)
 
         if train:
             @jax.jit
             def epoch(params, opt_state, rng, roots, rows, labels, w):
-                (params, opt_state, _), (losses, preds) = jax.lax.scan(
+                (params, opt_state, _), (losses, preds, ovf) = jax.lax.scan(
                     train_step, (params, opt_state, rng),
                     (roots, rows, labels, w))
-                return params, opt_state, losses, preds
+                return params, opt_state, losses, preds, ovf.sum()
             return epoch
 
         @jax.jit
         def epoch_e(params, rng, roots, rows, labels, w):
-            _, (losses, preds) = jax.lax.scan(
+            _, (losses, preds, ovf) = jax.lax.scan(
                 eval_step, (params, rng), (roots, rows, labels, w))
-            return losses, preds
+            return losses, preds, ovf.sum()
         return epoch_e
 
     # ------------------------------------------------------------------
@@ -433,6 +507,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int, mode: int, status: str = "running"):
         self._ensure_tables(mode)
+        self._ensure_caches(mode)
         train = (mode == TRAIN and status == "running")
         (nb, roots, rows, labels_dev, w_dev, labels_np, w_np) = \
             self._epoch_arrays(mode)
@@ -443,12 +518,15 @@ class Trainer:
         rng = jax.random.PRNGKey(self.rng_np.integers(1 << 31))
         t0 = time.time()
         if train:
-            self.params, self.opt_state, losses, preds = fn(
+            self.params, self.opt_state, losses, preds, ovf = fn(
                 self.params, self.opt_state, rng, roots, rows, labels_dev,
                 w_dev)
         else:
-            losses, preds = fn(self.params, rng, roots, rows, labels_dev,
-                               w_dev)
+            losses, preds, ovf = fn(self.params, rng, roots, rows, labels_dev,
+                                    w_dev)
+        if int(ovf) > 0:
+            print(f"[WARN] induction candidate overflow: {int(ovf)} edges "
+                  f"dropped this epoch (raise cand_cap)")
         losses = np.asarray(losses)
         preds = np.asarray(preds).reshape(-1, preds.shape[-1])
         t1 = time.time()
@@ -494,7 +572,7 @@ class Trainer:
             key = (md, nb, False)
             if key not in self._epoch_fns:
                 self._epoch_fns[key] = self._make_epoch_fn(md, nb, False)
-            losses, preds = self._epoch_fns[key](
+            losses, preds, _ovf = self._epoch_fns[key](
                 self.params, jax.random.PRNGKey(0), roots, rows, labels_dev,
                 w_dev)
             preds = np.asarray(preds).reshape(-1, self.num_classes)
@@ -536,6 +614,7 @@ class Trainer:
 
     def inference(self, modes=(VALID, TEST)):
         for md in modes:
+            self.disable_cache(md)      # one pass only (main.py:204-211)
             stats = self.run_epoch(0, md, status="final")
             self.logger.log_final(md, stats)
         return self.logger.final_summary()

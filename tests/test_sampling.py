@@ -209,3 +209,23 @@ def test_ppr_st_subset_and_target(small_graph, dev_graph):
         # sample_size entries drawn (dedup may shrink by target overlap)
         n_keep = len(oracle.ppr_scope(neighs[i], scores[i], t, k, 0.0)) - 1
         assert len(got) >= min(n_keep, 1)
+
+
+def test_candidate_induction_matches_search():
+    """cand (work ~ sum deg) and search (pairwise) strategies agree."""
+    from shadow_gnn_tpu.sampling.induction import membership_matrix_cand
+    indptr, indices = make_random_graph(800, 12.0, seed=5, power_law=True)
+    g = DeviceGraph.from_csr(indptr, indices)
+    rng = np.random.default_rng(0)
+    nodes = np.full((4, 32), 800, np.int32)
+    for b in range(4):
+        picks = np.sort(rng.choice(800, size=rng.integers(5, 32), replace=False))
+        nodes[b, :picks.size] = picks
+    nj = jnp.asarray(nodes)
+    a1 = np.asarray(membership_matrix(g, nj))
+    a2, ovf = membership_matrix_cand(g, nj, cand_cap=int(np.diff(indptr).max()) * 32)
+    assert int(ovf) == 0
+    np.testing.assert_array_equal(a1, np.asarray(a2))
+    # capped run must count dropped candidates
+    _, ovf2 = membership_matrix_cand(g, nj, cand_cap=8)
+    assert int(ovf2) > 0
