@@ -36,6 +36,7 @@ def build_argparser():
     p.add_argument("--postproc_configs", type=str, default=None)
     p.add_argument("--postproc_dir", type=str, default=None)
     p.add_argument("--compute_complexity_only", action="store_true")
+    p.add_argument("--inference_budget", type=int, default=0)
     p.add_argument("--nocache", type=str, default=None)
     p.add_argument("--log_test_convergence", type=int, default=-1)
     p.add_argument("--platform", type=str, default=None,
@@ -45,6 +46,10 @@ def build_argparser():
                    help="PPR precompute backend")
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=["bfloat16", "tensorfloat32", "float32"])
+    p.add_argument("--meta_config", type=str, default=None,
+                   help="machine meta-config yml (reference CONFIG.yml "
+                        "schema: data/logging dirs, per-dataset metric)")
+    p.add_argument("--reload_model_dir", type=str, default=None)
     return p
 
 
@@ -89,8 +94,25 @@ def main(argv=None):
         from shadow_gnn_tpu.postproc.driver import run_postproc
         return run_postproc(args)
 
+    # optional machine meta-config (reference CONFIG_TEMPLATE.yml schema)
+    metric_map = dict(DATA_METRIC)
+    if args.meta_config:
+        import yaml as _y
+        with open(args.meta_config) as _f:
+            meta = _y.safe_load(_f)
+        if meta.get("data", {}).get("dir", {}).get("local"):
+            args.data_dir = meta["data"]["dir"]["local"]
+        if meta.get("logging", {}).get("dir", {}).get("local"):
+            args.log_dir = meta["logging"]["dir"]["local"]
+        metric_map.update(meta.get("data", {}).get("metric", {}) or {})
+        # dev-run convention: configs matching ignore patterns leave no
+        # artifacts (globals.py:88-96)
+        ignores = meta.get("logging", {}).get("ignore_config_name", []) or []
+        base = os.path.basename(str(args.configs or ""))
+        if base in ignores:
+            args.no_log = True
     parsed = parse_config(config_path)
-    metric_name = DATA_METRIC.get(args.dataset, "accuracy")
+    metric_name = metric_map.get(args.dataset, "accuracy")
     metrics = Metrics(args.dataset, parsed["arch_gnn"]["loss"] == "sigmoid",
                       metric_name,
                       int(parsed["params_train"]["term_window_size"]))
@@ -124,7 +146,16 @@ def main(argv=None):
             trainer.disable_cache(m)
     if task == "train":
         try:
-            trainer.train()
+            if args.reload_model_dir:
+                import glob as _g
+                pm = sorted(_g.glob(
+                    f"{args.reload_model_dir}/saved_model_*.msgpack"))
+                po = sorted(_g.glob(
+                    f"{args.reload_model_dir}/saved_optimizer_*.msgpack"))
+                trainer.params, trainer.opt_state = Logger.load_checkpoint(
+                    trainer.params, trainer.opt_state, pm[-1],
+                    po[-1] if po else None)
+            trainer.train(log_test_convergence=args.log_test_convergence)
             status = "finished"
         except KeyboardInterrupt:
             status = "killed"
@@ -135,6 +166,10 @@ def main(argv=None):
         finally:
             logger.end_training(status)
         return 0 if status == "finished" else 1
+    elif args.compute_complexity_only:
+        from shadow_gnn_tpu.train.complexity import compute_complexity
+        compute_complexity(trainer, num_roots_budget=args.inference_budget)
+        return 0
     else:   # inference
         import glob
         pm = sorted(glob.glob(f"{args.inference_dir}/saved_model_*.msgpack"))

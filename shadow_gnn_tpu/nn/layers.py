@@ -97,6 +97,24 @@ def norm_feat(feat: jax.Array, scale: jax.Array, offset: jax.Array) -> jax.Array
     return (feat - mean) * scale * jax.lax.rsqrt(var) + offset
 
 
+def pairnorm(feat: jax.Array, node_mask: jax.Array, s: float = 1.0) -> jax.Array:
+    """PairNorm-SI per subgraph block.
+
+    The reference's pairnorm (layers.py:340-361) is unfinished (live
+    breakpoint, missing 1/|V| factor); this is the corrected
+    scale-individual variant: center per subgraph, then L2-normalize
+    each row (zero rows pass through, like the idx_null guard :356-357).
+    """
+    m = node_mask[..., None].astype(feat.dtype)
+    cnt = jnp.clip(m.sum(-2, keepdims=True), 1.0, None)
+    mean = (feat * m).sum(-2, keepdims=True) / cnt
+    centered = (feat - mean) * m
+    null = (jnp.abs(centered).sum(-1, keepdims=True) == 0)
+    centered = jnp.where(null, feat, centered)
+    norm = jnp.sqrt((centered ** 2).sum(-1, keepdims=True) + 1e-12)
+    return s * centered / norm * m
+
+
 class _ConvBase(nn.Module):
     """Shared config for conv layers."""
 
@@ -111,9 +129,12 @@ class _ConvBase(nn.Module):
         offset = self.param("offset", nn.initializers.zeros, shape)
         return scale, offset
 
-    def _maybe_norm(self, feat, scale, offset):
+    def _maybe_norm(self, feat, scale, offset, node_mask=None):
         if self.norm == "none":
             return feat
+        if self.norm == "pairnorm":
+            assert node_mask is not None
+            return pairnorm(feat, node_mask)
         return norm_feat(feat, scale, offset)
 
     def _dropout(self, x, train):
@@ -130,7 +151,7 @@ class GCNConv(_ConvBase):
         aggr = jnp.einsum("bij,bjf->bif", adj_norm, x)
         out = f(TorchLinear(self.dim_out)(aggr))
         scale, offset = self._norm_params((self.dim_out,))
-        return self._maybe_norm(out, scale, offset)
+        return self._maybe_norm(out, scale, offset, node_mask)
 
 
 class SAGEConv(_ConvBase):
@@ -142,8 +163,8 @@ class SAGEConv(_ConvBase):
         neigh = jnp.einsum("bij,bjf->bif", adj_norm, x)
         h_neigh = f(TorchLinear(self.dim_out, use_bias=True)(neigh))
         scale, offset = self._norm_params((2, self.dim_out))
-        h_self = self._maybe_norm(h_self, scale[0], offset[0])
-        h_neigh = self._maybe_norm(h_neigh, scale[1], offset[1])
+        h_self = self._maybe_norm(h_self, scale[0], offset[0], node_mask)
+        h_neigh = self._maybe_norm(h_neigh, scale[1], offset[1], node_mask)
         return h_self + h_neigh
 
 
@@ -158,7 +179,7 @@ class GINConv(_ConvBase):
         h = TorchLinear(self.dim_out)(jax.nn.relu(h))
         out = f(h)
         scale, offset = self._norm_params((self.dim_out,))
-        return self._maybe_norm(out, scale, offset)
+        return self._maybe_norm(out, scale, offset, node_mask)
 
 
 class GATConv(_ConvBase):
@@ -196,7 +217,12 @@ class GATConv(_ConvBase):
         denom = jnp.clip(e.sum(2), 1e-10, None)                 # [b,i,h]
         aggr = jnp.einsum("bijh,bjhd->bihd", e, h_neigh) / denom[..., None]
         scale, offset = self._norm_params((2, h, dh))
-        if self.norm != "none":
+        if self.norm == "pairnorm":
+            aggr = pairnorm(aggr.reshape(b, n, -1), node_mask).reshape(
+                b, n, h, dh)
+            h_self = pairnorm(h_self.reshape(b, n, -1), node_mask).reshape(
+                b, n, h, dh)
+        elif self.norm != "none":
             aggr = norm_feat(aggr, scale[0], offset[0])
             h_self = norm_feat(h_self, scale[1], offset[1])
         out = (h_self.reshape(b, n, -1) + aggr.reshape(b, n, -1)) / 2.0
@@ -239,7 +265,7 @@ class GATScatterConv(_ConvBase):
         feat_self = x @ w_dst + b_dst
         out = f(aggr.reshape(b, n, -1) + feat_self)
         scale, offset = self._norm_params((self.dim_out,))
-        return self._maybe_norm(out, scale, offset)
+        return self._maybe_norm(out, scale, offset, node_mask)
 
 
 class MLPLayer(_ConvBase):
@@ -252,7 +278,7 @@ class MLPLayer(_ConvBase):
         x = self._dropout(feat, train)
         out = f(TorchLinear(self.dim_out)(x))
         scale, offset = self._norm_params((self.dim_out,))
-        return self._maybe_norm(out, scale, offset)
+        return self._maybe_norm(out, scale, offset, node_mask)
 
 
 NAME2LAYER = {

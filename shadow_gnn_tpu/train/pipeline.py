@@ -163,7 +163,18 @@ class Trainer:
             optax.adam(float(self.params_train["lr"])),
         )
         self.opt_state = self.opt.init(self.params)
+        # resume from a previous run's checkpoint (reference retrain_dir
+        # hyperparameter, main.py:128-132)
+        if "retrain_dir" in self.params_train:
+            import glob as _glob
+            d = self.params_train["retrain_dir"]
+            pm = sorted(_glob.glob(f"{d}/saved_model_*.msgpack"))
+            po = sorted(_glob.glob(f"{d}/saved_optimizer_*.msgpack"))
+            self.params, self.opt_state = Logger.load_checkpoint(
+                self.params, self.opt_state, pm[-1], po[-1] if po else None)
         self._epoch_fns: Dict[Tuple, Any] = {}
+        from shadow_gnn_tpu.train.profiler import SubgraphProfiler
+        self.profiler = SubgraphProfiler(self.num_ensemble)
         if matmul_precision:
             jax.config.update("jax_default_matmul_precision", matmul_precision)
 
@@ -508,6 +519,18 @@ class Trainer:
     def run_epoch(self, epoch: int, mode: int, status: str = "running"):
         self._ensure_tables(mode)
         self._ensure_caches(mode)
+        if epoch == 0 and status == "running" and self.profiler.enabled:
+            # subgraph statistics over a couple of batches, printed once
+            # then cleared (reference profiler protocol, main.py:165,188)
+            _, roots_p, rows_p, _, _, _, _ = self._epoch_arrays(mode)
+            for ib in range(min(2, roots_p.shape[0])):
+                bs, _ = self._sample_branch_batches(
+                    mode, roots_p[ib], rows_p[ib], jax.random.PRNGKey(0))
+                self.profiler.update_batch(bs)
+            print(f"[profiler] {MODE2STR[mode]} subgraph stats:")
+            self.profiler.print_summary()
+            self.profiler.clear_metrics()
+            self.profiler.enabled = False
         train = (mode == TRAIN and status == "running")
         (nb, roots, rows, labels_dev, w_dev, labels_np, w_np) = \
             self._epoch_arrays(mode)
@@ -544,11 +567,13 @@ class Trainer:
         return stats
 
     # ------------------------------------------------------------------
-    def train(self):
+    def train(self, log_test_convergence: int = -1):
         max_epoch = int(self.params_train["end"])
         for e in range(max_epoch):
             self.run_epoch(e, TRAIN)
             self.run_epoch(e, VALID)
+            if log_test_convergence > 0 and e % log_test_convergence == 0:
+                self.run_epoch(e // log_test_convergence, TEST)
             self.logger.update_best_model(e, self.params, self.opt_state)
         print("=" * 22 + "\nOptimization Finished!\n" + "=" * 22)
         best_params, best_opt = self.logger.restore_model(self.params,

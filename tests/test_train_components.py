@@ -1,0 +1,143 @@
+"""Metrics, postprocessing, complexity, profiler, converter unit tests."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shadow_gnn_tpu import TRAIN, VALID, TEST
+from shadow_gnn_tpu.train.metrics import Metrics, f1_scores, hits_at_k
+
+
+def test_f1_scores_manual():
+    y_true = np.array([0, 0, 1, 1, 2])
+    y_pred = np.array([0, 1, 1, 1, 0])
+    mic, mac = f1_scores(y_true, y_pred, 3)
+    # micro-F1 == accuracy for single-label
+    assert abs(mic - 0.6) < 1e-9
+    # per-class: c0 p=1/2 r=1/2 f=.5 ; c1 p=2/3 r=1 f=.8 ; c2 f=0
+    assert abs(mac - (0.5 + 0.8 + 0.0) / 3) < 1e-9
+
+
+def test_f1_multilabel():
+    y_true = np.array([[1, 0], [1, 1], [0, 1]])
+    y_pred = np.array([[1, 0], [0, 1], [0, 1]])
+    mic, mac = f1_scores(y_true, y_pred, 2)
+    # tp = 1+2=3... per class: c0 tp1 fp0 fn1 -> f1 2/3 ; c1 tp2 fp0 fn0 -> 1
+    assert abs(mac - (2 / 3 + 1.0) / 2) < 1e-9
+    assert abs(mic - 2 * 3 / (2 * 3 + 0 + 1)) < 1e-9
+
+
+def test_hits_at_k():
+    pos = np.array([0.9, 0.5, 0.3])
+    neg = np.array([0.8, 0.6, 0.4, 0.2])
+    # K=2: 2nd best neg = 0.6 -> pos > 0.6: only 0.9 -> 1/3
+    assert abs(hits_at_k(pos, neg, 2) - 1 / 3) < 1e-9
+    assert hits_at_k(pos, np.array([0.1]), 5) == 1.0   # fewer negs than K
+
+
+def test_metrics_window_is_better():
+    m = Metrics("toy", False, "accuracy", 2)
+    better, l, a = m.is_better([1.0, 0.5], 99, [0.5, 0.7], 0.55)
+    assert better and abs(a - 0.6) < 1e-9
+    better2, _, a2 = m.is_better([1.0, 0.5], l, [0.5, 0.6], 0.6)
+    assert not better2 and a2 == 0.6
+
+
+def test_correct_smooth_improves_noisy_preds():
+    """C&S smooth over a homophilous graph must improve noisy preds."""
+    from shadow_gnn_tpu.postproc.cns import correct_smooth
+    rng = np.random.default_rng(0)
+    n, c = 800, 4
+    lab = rng.integers(0, c, n)
+    # strongly homophilous random graph: 90% intra-community edges
+    src = rng.integers(0, n, 6000)
+    same = rng.random(6000) < 0.9
+    dst = np.where(same, -1, rng.integers(0, n, 6000))
+    for i in np.where(same)[0]:
+        pool = np.where(lab == lab[src[i]])[0]
+        dst[i] = pool[rng.integers(pool.size)]
+    keep = src != dst
+    row = np.concatenate([src[keep], dst[keep]])
+    col = np.concatenate([dst[keep], src[keep]])
+    key = np.unique(row.astype(np.int64) * n + col)
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, (key // n).astype(int) + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    indices = (key % n).astype(np.int32)
+    onehot = np.eye(c, dtype=np.float32)[lab]
+    noisy = 0.6 * onehot + 0.4 * rng.random((n, c)).astype(np.float32)
+    flip = rng.random(n) < 0.35     # 35% corrupted rows
+    noisy[flip] = rng.random((int(flip.sum()), c))
+    node_set = {TRAIN: np.arange(0, 500), VALID: np.arange(500, 650),
+                TEST: np.arange(650, 800)}
+    acc_orig, acc_cs = correct_smooth(
+        indptr, indices, lab, node_set, [noisy], use_norm=False, alpha=0.8)
+    assert acc_cs[TEST][0] > acc_orig[TEST][0] + 0.05, (acc_orig, acc_cs)
+
+
+def test_post_ensemble_trains():
+    from shadow_gnn_tpu.postproc.ens import train_post_ensemble
+    rng = np.random.default_rng(0)
+    n, f, c = 600, 16, 4
+    lab = rng.integers(0, c, n)
+    centers = rng.normal(size=(c, f)).astype(np.float32)
+    emb1 = centers[lab] + 0.5 * rng.normal(size=(n, f)).astype(np.float32)
+    emb2 = centers[lab] + 0.8 * rng.normal(size=(n, f)).astype(np.float32)
+    ns = {TRAIN: np.arange(0, 400), VALID: np.arange(400, 500),
+          TEST: np.arange(500, 600)}
+    acc = train_post_ensemble(ns, [emb1, emb2], lab,
+                              {"dim": f, "act": "leakyrelu", "loss": "softmax"},
+                              {"lr": 0.05, "batch_size": 64, "end": 20,
+                               "dropout": 0.0})
+    assert acc[TEST] > 0.6, acc
+
+
+def test_complexity_counts(tmp_path):
+    from test_train_e2e import BASE_CONFIG, make_trainer
+    from shadow_gnn_tpu.train.complexity import compute_complexity
+    tr = make_trainer(tmp_path, BASE_CONFIG)
+    ops = compute_complexity(tr, num_roots_budget=64)
+    assert ops[VALID] > 0
+
+
+def test_profiler_stats(tmp_path):
+    from test_train_e2e import BASE_CONFIG, make_trainer
+    tr = make_trainer(tmp_path, BASE_CONFIG)
+    tr._ensure_tables(TRAIN)
+    _, roots, rows, _, _, _, _ = tr._epoch_arrays(TRAIN)
+    bs, _ = tr._sample_branch_batches(TRAIN, roots[0], rows[0],
+                                      jax.random.PRNGKey(0))
+    tr.profiler.update_batch(bs)
+    s = tr.profiler.summary()
+    assert s["avg_nodes"][0] > 1
+    assert s["avg_edges"][0] > 0
+    # PPR k=16 scope: hop-1 neighbors should dominate an ego-net
+    assert s["hop_composition"][0][1] > 0    # self
+
+
+def test_saint_converter_roundtrip(tmp_path):
+    import scipy.sparse as sp
+    import json
+    from shadow_gnn_tpu.data.converter import convert_saint
+    from shadow_gnn_tpu.data.loader import load_data
+    rng = np.random.default_rng(0)
+    n = 50
+    a = sp.random(n, n, density=0.1, format="csr", random_state=1)
+    a = ((a + a.T) > 0).astype(bool)
+    sd = tmp_path / "saint"
+    os.makedirs(sd)
+    sp.save_npz(sd / "adj_full.npz", a.tocsr())
+    sp.save_npz(sd / "adj_train.npz", a.tocsr())
+    np.save(sd / "feats.npy", rng.normal(size=(n, 4)).astype(np.float32))
+    json.dump({str(i): int(i % 3) for i in range(n)},
+              open(sd / "class_map.json", "w"))
+    json.dump({"tr": list(range(0, 30)), "va": list(range(30, 40)),
+               "te": list(range(40, 50))}, open(sd / "role.json", "w"))
+    convert_saint(str(tmp_path / "data"), "mini", str(sd))
+    raw = load_data(str(tmp_path / "data"), "mini",
+                    {"to_undirected": False, "transductive": True})
+    assert raw.num_nodes == n
+    assert raw.label_full.shape == (n,)
+    assert raw.node_set[TRAIN].size == 30
