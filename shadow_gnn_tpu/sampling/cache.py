@@ -45,19 +45,24 @@ def estimate_bytes(num_roots: int, n_pad: int) -> int:
 
 
 def pack_bits(adj: jax.Array) -> jax.Array:
-    """[..., N, N] {0,1} f32 -> [..., N, ceil(N/8)] uint8."""
+    """[..., N, N] {0,1} f32 -> [..., N, ceil(N/8)] uint8.
+
+    Tiled layout: bit s of byte b encodes column s*BYTES + b — chosen so
+    the Pallas kernel's lane-tiled repeat unpacks without a column
+    permutation (ops/pallas_packed.py)."""
     n = adj.shape[-1]
-    pad = (-n) % 8
+    nbytes = -(-n // 8)
+    pad = nbytes * 8 - n
     a = jnp.pad(adj, [(0, 0)] * (adj.ndim - 1) + [(0, pad)])
-    a = a.reshape(a.shape[:-1] + (-1, 8)).astype(jnp.uint8)
-    shifts = (1 << jnp.arange(8, dtype=jnp.uint8))
-    return (a * shifts).sum(-1).astype(jnp.uint8)
+    a = a.reshape(a.shape[:-1] + (8, nbytes)).astype(jnp.uint8)
+    shifts = (1 << jnp.arange(8, dtype=jnp.uint8))[:, None]
+    return (a * shifts).sum(-2).astype(jnp.uint8)
 
 
 def unpack_bits(bits: jax.Array, n: int) -> jax.Array:
-    """[..., N, BYTES] uint8 -> [..., N, n] f32."""
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    b = (bits[..., None] >> shifts) & 1
+    """[..., N, BYTES] uint8 -> [..., N, n] f32 (tiled layout)."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)[:, None]
+    b = (bits[..., None, :] >> shifts) & 1            # [..., N, 8, BYTES]
     out = b.reshape(bits.shape[:-1] + (-1,))[..., :n]
     return out.astype(jnp.float32)
 
