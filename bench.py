@@ -92,15 +92,17 @@ def main():
     nb, roots, rows, labels, w, labels_np, w_np = tr._epoch_arrays(TRAIN)
     fn = tr._make_epoch_fn(TRAIN, nb, True)
     rng = jax.random.PRNGKey(0)
+    arrays = tr._mode_arrays(TRAIN)
     p, o = tr.params, tr.opt_state
     t0 = time.time()
-    p, o, losses, preds, ovf = fn(p, o, rng, roots, rows, labels, w)
+    p, o, losses, preds, ovf = fn(p, o, rng, roots, rows, labels, w, arrays)
     _ = float(losses.sum())     # block_until_ready does not reliably
     t_compile_first = time.time() - t0          # sync on this backend
     times = []
     for _ in range(3):
         t0 = time.time()
-        p, o, losses, preds, ovf = fn(p, o, rng, roots, rows, labels, w)
+        p, o, losses, preds, ovf = fn(p, o, rng, roots, rows, labels, w,
+                                      arrays)
         _ = float(losses.sum())
         times.append(time.time() - t0)
     t_epoch_cold = min(times)
@@ -114,14 +116,16 @@ def main():
     tr._ensure_caches(TRAIN)
     t_cache_build = time.time() - t0
     fn2 = tr._make_epoch_fn(TRAIN, nb, True)
+    arrays2 = tr._mode_arrays(TRAIN)
     t0 = time.time()
-    p, o, losses, preds, ovf = fn2(p, o, rng, roots, rows, labels, w)
+    p, o, losses, preds, ovf = fn2(p, o, rng, roots, rows, labels, w, arrays2)
     _ = float(losses.sum())
     t_compile_cached = time.time() - t0
     times = []
     for _ in range(5):
         t0 = time.time()
-        p, o, losses, preds, ovf = fn2(p, o, rng, roots, rows, labels, w)
+        p, o, losses, preds, ovf = fn2(p, o, rng, roots, rows, labels, w,
+                                       arrays2)
         _ = float(losses.sum())
         times.append(time.time() - t0)
     t_epoch = min(times)

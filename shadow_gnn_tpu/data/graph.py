@@ -123,6 +123,25 @@ class DeviceGraph:
         return max(1, int(np.ceil(np.log2(max(2, self.max_deg + 1)))) + 1)
 
 
+def _devicegraph_flatten(g: "DeviceGraph"):
+    # registered as a pytree so graphs pass through jit as ARGUMENTS —
+    # closure-captured buffers get serialized into compiled programs on
+    # some backends (slow compiles / size limits)
+    return (g.indptr, g.indices), (g.num_nodes, g.num_edges, g.max_deg)
+
+
+def _devicegraph_unflatten(aux, children):
+    indptr, indices = children
+    n, e, d = aux
+    return DeviceGraph(indptr=indptr, indices=indices, num_nodes=n,
+                       num_edges=e, max_deg=d)
+
+
+import jax as _jax
+_jax.tree_util.register_pytree_node(DeviceGraph, _devicegraph_flatten,
+                                    _devicegraph_unflatten)
+
+
 def degrees(indptr: np.ndarray) -> np.ndarray:
     return np.diff(indptr)
 

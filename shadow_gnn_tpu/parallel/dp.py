@@ -59,11 +59,12 @@ def make_dp_train_step(trainer, mode: int, n_devices: int):
 
     cfg_m = trainer.model_cfg
     model, opt = trainer.model, trainer.opt
+    arrays0 = jax.device_put(trainer._mode_arrays(mode), repl)
 
-    def _step(params, opt_state, rng, roots, rows, labels, w):
+    def _step(params, opt_state, rng, roots, rows, labels, w, arrays):
         rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
         batches, feats = trainer._sample_branch_batches(mode, roots, rows,
-                                                        r_samp)
+                                                        r_samp, arrays)
 
         def lf(p):
             logits, _ = model.apply(p, batches, feats, mode_train=True,
@@ -77,11 +78,15 @@ def make_dp_train_step(trainer, mode: int, n_devices: int):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    step = jax.jit(
+    step_inner = jax.jit(
         _step,
-        in_shardings=(repl, repl, repl, bshard, bshard, bshard, bshard),
+        in_shardings=(repl, repl, repl, bshard, bshard, bshard, bshard, repl),
         out_shardings=(repl, repl, repl),
     )
+
+    def step(params, opt_state, rng, roots, rows, labels, w):
+        return step_inner(params, opt_state, rng, roots, rows, labels, w,
+                          arrays0)
 
     def shard_batch(xs: Tuple):
         return tuple(jax.device_put(x, bshard) for x in xs)

@@ -29,14 +29,17 @@ from shadow_gnn_tpu.sampling.batch import SamplerConfig, SubgraphBatch
 
 
 class SubgraphCache(NamedTuple):
+    """Arrays only (a clean pytree usable as a jit argument — large
+    buffers must never be closure-captured: this backend serializes
+    captured constants into the compiled program).  Static metadata
+    (n_pad, num_nodes) travels separately via SamplerConfig."""
+
     nodes: jax.Array        # [T, N] int32
     adj_bits: jax.Array     # [T, N, BYTES] uint8
     targets: jax.Array      # [T, Tt] int32 (local)
     hop: jax.Array          # [T, N] int8
     ppr: jax.Array          # [T, N] f32
     drnl: jax.Array         # [T, N] int16
-    n_pad: int
-    num_nodes: int
 
 
 def estimate_bytes(num_roots: int, n_pad: int) -> int:
@@ -69,10 +72,13 @@ def unpack_bits(bits: jax.Array, n: int) -> jax.Array:
 
 def build_cache(sample_fn, num_roots: int, roots_all: np.ndarray,
                 rows_all: np.ndarray, cfg: SamplerConfig,
-                num_nodes: int, chunk: int = 256) -> SubgraphCache:
+                num_nodes: int, chunk: int = 256,
+                aux=None) -> SubgraphCache:
     """Run the jitted sampler over every root once, packing results.
 
-    sample_fn(roots [C, T], rows [C, T]) -> SubgraphBatch
+    sample_fn(roots [C, T], rows [C, T], aux) -> SubgraphBatch, where
+    ``aux`` carries the graph/table device buffers as explicit jit
+    arguments (never closure-captured).
     roots_all/rows_all: [num_roots, T]
     """
     n = cfg.n_pad
@@ -85,8 +91,8 @@ def build_cache(sample_fn, num_roots: int, roots_all: np.ndarray,
     drnl = np.empty((t, n), np.int16)
 
     @jax.jit
-    def packed(roots, rows):
-        b = sample_fn(roots, rows)
+    def packed(roots, rows, aux):
+        b = sample_fn(roots, rows, aux)
         return (b.nodes, pack_bits(b.adj), b.targets,
                 jnp.clip(b.hop, -1, 127).astype(jnp.int8), b.ppr,
                 jnp.clip(b.drnl, -2**15, 2**15 - 1).astype(jnp.int16))
@@ -98,7 +104,7 @@ def build_cache(sample_fn, num_roots: int, roots_all: np.ndarray,
                                                       pad, 0)])
         rw = np.concatenate([rows_all[s:e], np.repeat(rows_all[s:s+1],
                                                       pad, 0)])
-        out = packed(jnp.asarray(r), jnp.asarray(rw))
+        out = packed(jnp.asarray(r), jnp.asarray(rw), aux)
         nodes[s:e] = np.asarray(out[0])[:e - s]
         bits[s:e] = np.asarray(out[1])[:e - s]
         targets[s:e] = np.asarray(out[2])[:e - s]
@@ -108,15 +114,15 @@ def build_cache(sample_fn, num_roots: int, roots_all: np.ndarray,
     return SubgraphCache(
         nodes=jnp.asarray(nodes), adj_bits=jnp.asarray(bits),
         targets=jnp.asarray(targets), hop=jnp.asarray(hop),
-        ppr=jnp.asarray(ppr), drnl=jnp.asarray(drnl),
-        n_pad=n, num_nodes=num_nodes)
+        ppr=jnp.asarray(ppr), drnl=jnp.asarray(drnl))
 
 
-def gather_batch(cache: SubgraphCache, rows: jax.Array) -> SubgraphBatch:
+def gather_batch(cache: SubgraphCache, rows: jax.Array, n_pad: int,
+                 num_nodes: int) -> SubgraphBatch:
     """rows [B] (cache row per root) -> SubgraphBatch (jit-friendly)."""
     nodes = cache.nodes[rows]
-    adj = unpack_bits(cache.adj_bits[rows], cache.n_pad)
-    node_mask = nodes < cache.num_nodes
+    adj = unpack_bits(cache.adj_bits[rows], n_pad)
+    node_mask = nodes < num_nodes
     return SubgraphBatch(
         nodes=nodes,
         node_mask=node_mask,

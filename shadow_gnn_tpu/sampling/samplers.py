@@ -216,11 +216,18 @@ def sample_subgraphs(cfg: SamplerConfig, graph: DeviceGraph,
 
 def build_sampler(cfg: SamplerConfig, graph: DeviceGraph,
                   tables: Optional[PPRTables] = None):
-    """Return a jitted ``(roots, rng, table_rows) -> SubgraphBatch``."""
+    """Return a jitted ``(roots, rng, table_rows) -> SubgraphBatch``.
 
-    @partial(jax.jit, static_argnames=())
-    def fn(roots, rng=None, table_rows=None):
+    graph/tables enter the jitted program as arguments (DeviceGraph is
+    a registered pytree), never as closure constants."""
+
+    @jax.jit
+    def fn_inner(graph, tables, roots, rng, table_rows):
         return sample_subgraphs(cfg, graph, roots, rng=rng,
                                 table_rows=table_rows, tables=tables)
+
+    def fn(roots, rng=None, table_rows=None):
+        r = jax.random.PRNGKey(0) if rng is None else rng
+        return fn_inner(graph, tables, roots, r, table_rows)
 
     return fn

@@ -86,9 +86,10 @@ def compute_complexity(trainer, num_roots_budget: int = 0,
         budget = num_roots_budget or int(w_np.sum())
         feat_dim = trainer.dim_feat_smooth + trainer.dim_label_smooth
         total_ops, total_roots, ib = 0.0, 0, 0
+        arrays = trainer._mode_arrays(md)
         while total_roots < budget and ib < nb:
             batches, _ = trainer._sample_branch_batches(
-                md, roots[ib], rows[ib], jax.random.PRNGKey(0))
+                md, roots[ib], rows[ib], jax.random.PRNGKey(0), arrays)
             for b in batches:
                 sizes = np.asarray(b.size)
                 edges = np.asarray(b.adj.sum((1, 2)))

@@ -56,6 +56,19 @@ def weighted_loss_fn(cfg: ModelConfig, logits, labels, weights):
     return (ce * weights).sum() / wsum
 
 
+from typing import NamedTuple
+
+
+class ModeArrays(NamedTuple):
+    """Per-mode device buffers passed explicitly into epoch programs."""
+
+    indptr: Any
+    indices: Any
+    feat_tab: Any
+    tables: tuple
+    caches: tuple
+
+
 class Trainer:
     def __init__(self, name_data: str, dir_data: str, raw: RawGraph,
                  parsed: Dict[str, Any], metrics: Metrics, logger: Logger,
@@ -330,22 +343,40 @@ class Trainer:
             dummy_batches, dummy_feats, mode_train=False, train=False)
 
     # ------------------------------------------------------------------
-    def _sample_branch_batches(self, mode: int, roots, rows, rng):
+    def _mode_arrays(self, mode: int) -> "ModeArrays":
+        """All large device buffers an epoch program needs, as an
+        explicit pytree ARGUMENT.  Never close jitted code over these:
+        this backend serializes captured constants into the compiled
+        program (multi-minute compiles; HTTP 413 at papers100M scale)."""
+        return ModeArrays(
+            indptr=self.graph[mode].indptr,
+            indices=self.graph[mode].indices,
+            feat_tab=self.feat_tab,
+            tables=tuple(self.tables.get(mode)
+                         or [None] * self.num_ensemble),
+            caches=tuple(self.caches.get(mode)
+                         or [None] * self.num_ensemble),
+        )
+
+    def _sample_branch_batches(self, mode: int, roots, rows, rng,
+                               arrays: "ModeArrays"):
         from shadow_gnn_tpu.sampling.cache import gather_batch
+        import dataclasses as _dc
+        graph = _dc.replace(self.graph[mode], indptr=arrays.indptr,
+                            indices=arrays.indices)
         batches, feats = [], []
-        caches = self.caches.get(mode, [None] * self.num_ensemble)
         for i, br in enumerate(self.branches):
             cfg = br["cfg"][mode]
             rng, sub = jax.random.split(rng)
-            if caches[i] is not None:
-                batch = gather_batch(caches[i], rows[:, 0])
+            if arrays.caches[i] is not None:
+                batch = gather_batch(arrays.caches[i], rows[:, 0],
+                                     cfg.n_pad, self.num_nodes)
             else:
-                tabs = self.tables[mode][i]
-                batch = sample_subgraphs(cfg, self.graph[mode], roots,
+                batch = sample_subgraphs(cfg, graph, roots,
                                          rng=sub, table_rows=rows,
-                                         tables=tabs)
-            feat = self.feat_tab[jnp.clip(batch.nodes, 0,
-                                          self.num_nodes - 1)]
+                                         tables=arrays.tables[i])
+            feat = arrays.feat_tab[jnp.clip(batch.nodes, 0,
+                                            self.num_nodes - 1)]
             batches.append(batch)
             feats.append(feat)
         return batches, feats
@@ -370,16 +401,22 @@ class Trainer:
                 continue
             roots_all = ent[:, None].astype(np.int32)
             rows_all = np.arange(ent.size, dtype=np.int32)[:, None]
-            graph, tabs = self.graph[mode], self.tables[mode][i]
+            graph_meta = self.graph[mode]
 
-            def sample_fn(r, rw, cfg=cfg, graph=graph, tabs=tabs):
-                return sample_subgraphs(cfg, graph, r, rng=jax.random.PRNGKey(0),
+            def sample_fn(r, rw, aux, cfg=cfg, graph_meta=graph_meta):
+                import dataclasses as _dc
+                indptr, indices, tabs = aux
+                g = _dc.replace(graph_meta, indptr=indptr, indices=indices)
+                return sample_subgraphs(cfg, g, r,
+                                        rng=jax.random.PRNGKey(0),
                                         table_rows=rw, tables=tabs)
 
             t0 = time.time()
             self.caches[mode][i] = cache_mod.build_cache(
                 sample_fn, ent.size, roots_all, rows_all, cfg,
-                self.num_nodes)
+                self.num_nodes,
+                aux=(graph_meta.indptr, graph_meta.indices,
+                     self.tables[mode][i]))
             print(f"[cache] built branch {i} {MODE2STR[mode]}: "
                   f"{ent.size} subgraphs, {est / 1e6:.0f}MB, "
                   f"{time.time() - t0:.1f}s")
@@ -391,15 +428,16 @@ class Trainer:
         self.caches[mode] = [None] * self.num_ensemble
 
     def _make_epoch_fn(self, mode: int, nb: int, train: bool):
-        """Build the jitted scan-over-batches epoch program."""
+        """Build the jitted scan-over-batches epoch program.  All big
+        buffers come in through the ``arrays`` argument."""
         model, opt, cfg_m = self.model, self.opt, self.model_cfg
 
-        def train_step(carry, xs):
+        def train_step(arrays, carry, xs):
             params, opt_state, rng = carry
             roots, rows, labels, w = xs
             rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
             batches, feats = self._sample_branch_batches(mode, roots, rows,
-                                                         r_samp)
+                                                         r_samp, arrays)
 
             def lf(p):
                 logits, _ = model.apply(
@@ -414,31 +452,33 @@ class Trainer:
             ovf = sum(b.overflow for b in batches)
             return (params, opt_state, rng), (loss, preds, ovf)
 
-        def eval_step(carry, xs):
+        def eval_step(arrays, carry, xs):
             params, rng = carry
             roots, rows, labels, w = xs
             rng, r_samp = jax.random.split(rng)
             batches, feats = self._sample_branch_batches(mode, roots, rows,
-                                                         r_samp)
+                                                         r_samp, arrays)
             logits, _ = model.apply(params, batches, feats,
                                     mode_train=False, train=False)
             loss = weighted_loss_fn(cfg_m, logits, labels, w)
             ovf = sum(b.overflow for b in batches)
             return (params, rng), (loss, predict_fn(cfg_m, logits), ovf)
 
+        import functools as _ft
         if train:
             @jax.jit
-            def epoch(params, opt_state, rng, roots, rows, labels, w):
+            def epoch(params, opt_state, rng, roots, rows, labels, w, arrays):
                 (params, opt_state, _), (losses, preds, ovf) = jax.lax.scan(
-                    train_step, (params, opt_state, rng),
+                    _ft.partial(train_step, arrays), (params, opt_state, rng),
                     (roots, rows, labels, w))
                 return params, opt_state, losses, preds, ovf.sum()
             return epoch
 
         @jax.jit
-        def epoch_e(params, rng, roots, rows, labels, w):
+        def epoch_e(params, rng, roots, rows, labels, w, arrays):
             _, (losses, preds, ovf) = jax.lax.scan(
-                eval_step, (params, rng), (roots, rows, labels, w))
+                _ft.partial(eval_step, arrays), (params, rng),
+                (roots, rows, labels, w))
             return losses, preds, ovf.sum()
         return epoch_e
 
@@ -523,9 +563,11 @@ class Trainer:
             # subgraph statistics over a couple of batches, printed once
             # then cleared (reference profiler protocol, main.py:165,188)
             _, roots_p, rows_p, _, _, _, _ = self._epoch_arrays(mode)
+            arrays_p = self._mode_arrays(mode)
             for ib in range(min(2, roots_p.shape[0])):
                 bs, _ = self._sample_branch_batches(
-                    mode, roots_p[ib], rows_p[ib], jax.random.PRNGKey(0))
+                    mode, roots_p[ib], rows_p[ib], jax.random.PRNGKey(0),
+                    arrays_p)
                 self.profiler.update_batch(bs)
             print(f"[profiler] {MODE2STR[mode]} subgraph stats:")
             self.profiler.print_summary()
@@ -539,14 +581,15 @@ class Trainer:
             self._epoch_fns[key] = self._make_epoch_fn(mode, nb, train)
         fn = self._epoch_fns[key]
         rng = jax.random.PRNGKey(self.rng_np.integers(1 << 31))
+        arrays = self._mode_arrays(mode)
         t0 = time.time()
         if train:
             self.params, self.opt_state, losses, preds, ovf = fn(
                 self.params, self.opt_state, rng, roots, rows, labels_dev,
-                w_dev)
+                w_dev, arrays)
         else:
             losses, preds, ovf = fn(self.params, rng, roots, rows, labels_dev,
-                                    w_dev)
+                                    w_dev, arrays)
         if int(ovf) > 0:
             print(f"[WARN] induction candidate overflow: {int(ovf)} edges "
                   f"dropped this epoch (raise cand_cap)")
@@ -599,7 +642,7 @@ class Trainer:
                 self._epoch_fns[key] = self._make_epoch_fn(md, nb, False)
             losses, preds, _ovf = self._epoch_fns[key](
                 self.params, jax.random.PRNGKey(0), roots, rows, labels_dev,
-                w_dev)
+                w_dev, self._mode_arrays(md))
             preds = np.asarray(preds).reshape(-1, self.num_classes)
             r = np.asarray(roots).reshape(-1, self.num_targets)[:, 0]
             valid = w_np > 0
@@ -616,9 +659,9 @@ class Trainer:
 
         def make_emb_step(md):
             @jax.jit
-            def emb_step(params, roots, rows):
+            def emb_step(params, roots, rows, arrays):
                 batches, feats = self._sample_branch_batches(
-                    md, roots, rows, jax.random.PRNGKey(0))
+                    md, roots, rows, jax.random.PRNGKey(0), arrays)
                 _, emb_ens = model.apply(params, batches, feats,
                                          mode_train=False, train=False)
                 return emb_ens
@@ -629,8 +672,9 @@ class Trainer:
             self._ensure_tables(md)
             (nb, roots, rows, _labels, _w, _ln, w_np) = self._epoch_arrays(md)
             w_np = w_np.reshape(nb, -1)
+            arrays_e = self._mode_arrays(md)
             for ib in range(nb):
-                emb_ens = emb_step(self.params, roots[ib], rows[ib])
+                emb_ens = emb_step(self.params, roots[ib], rows[ib], arrays_e)
                 r = np.asarray(roots[ib])[:, 0]
                 valid = w_np[ib] > 0
                 for i, e in enumerate(emb_ens):

@@ -207,7 +207,7 @@ def make_batch(rng, b, n_valid, n_pad, num_nodes=100):
     )
 
 
-@pytest.mark.parametrize("aggr", ["gcn", "sage", "gat", "gin"])
+@pytest.mark.parametrize("aggr", ["gcn", "sage", "gat", "gin", "gatscat"])
 def test_model_padding_invariance(aggr):
     """Growing the padding must not change the logits."""
     rng = np.random.default_rng(8)

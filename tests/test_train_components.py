@@ -108,7 +108,8 @@ def test_profiler_stats(tmp_path):
     tr._ensure_tables(TRAIN)
     _, roots, rows, _, _, _, _ = tr._epoch_arrays(TRAIN)
     bs, _ = tr._sample_branch_batches(TRAIN, roots[0], rows[0],
-                                      jax.random.PRNGKey(0))
+                                      jax.random.PRNGKey(0),
+                                      tr._mode_arrays(TRAIN))
     tr.profiler.update_batch(bs)
     s = tr.profiler.summary()
     assert s["avg_nodes"][0] > 1
@@ -141,3 +142,19 @@ def test_saint_converter_roundtrip(tmp_path):
     assert raw.num_nodes == n
     assert raw.label_full.shape == (n,)
     assert raw.node_set[TRAIN].size == 30
+
+
+def test_all_reference_configs_parse():
+    """Every shipped reference training yml parses + decouples."""
+    import glob
+    from shadow_gnn_tpu.train.config import parse_config, decouple_ensemble
+    from shadow_gnn_tpu.sampling.batch import default_n_pad
+    files = sorted(glob.glob("/root/reference/config_train/**/*.yml",
+                             recursive=True))
+    if not files:
+        pytest.skip("reference configs not available")
+    for f in files:
+        p = parse_config(f)
+        for c in decouple_ensemble(p["config_sampler_train"]["configs"]):
+            if c["method"] != "full":
+                assert default_n_pad(c) > 0

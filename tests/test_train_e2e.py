@@ -35,7 +35,12 @@ def make_trainer(tmp_path, cfg_dict, seed=0, **ds_kw):
     g = make_synthetic_dataset(num_nodes=600, avg_deg=8, num_feat=16,
                                num_classes=5, seed=3, **ds_kw)
     parsed = parse_config(cfg_dict)
-    metric_name = "hits20" if g.prediction_task == "link" else "accuracy"
+    if g.prediction_task == "link":
+        metric_name = "hits20"
+    elif parsed["arch_gnn"]["loss"] == "sigmoid":
+        metric_name = "f1"
+    else:
+        metric_name = "accuracy"
     metrics = Metrics("toy", parsed["arch_gnn"]["loss"] == "sigmoid",
                       metric_name, 1)
     logger = Logger(metrics, str(tmp_path / "log"), no_log=False)
@@ -115,6 +120,20 @@ def test_link_prediction(tmp_path):
     assert tr.task == "link"
     tr.train()
     assert "hits20" in tr.logger.final_stats[TEST]
+
+
+def test_multilabel_sigmoid_with_ppr_aug(tmp_path):
+    """yelp-style: sigmoid multilabel + hops-pprs augment + sum pooling."""
+    cfg = {**BASE_CONFIG,
+           "architecture": {**BASE_CONFIG["architecture"], "loss": "sigmoid",
+                            "feature_augment": "hops-pprs",
+                            "feature_augment_ops": "concat",
+                            "residue": "concat", "pooling": "sum"},
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+    tr = make_trainer(tmp_path, cfg, multilabel=True)
+    tr.train()
+    assert "f1mic" in tr.logger.final_stats[TEST] or \
+        "accuracy" in tr.logger.final_stats[TEST]
 
 
 def test_label_use_and_smoothen(tmp_path):
