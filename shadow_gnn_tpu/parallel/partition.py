@@ -54,6 +54,93 @@ def sharded_feat_gather(feat_local: jax.Array, nodes: jax.Array,
     return jax.lax.psum_scatter(vals, axis, scatter_dimension=0, tiled=False)
 
 
+def make_sharded_train_step(trainer, mode: int, n_devices: int,
+                            axis: str = "dp"):
+    """Full DP training step with a ROW-SHARDED feature table.
+
+    Unlike parallel/dp.py (features replicated), the node-feature table
+    here is partitioned across the mesh — the configuration that lets
+    papers100M-scale features (57GB) exceed single-chip HBM.  The whole
+    step runs under shard_map: sampling + induction per batch shard,
+    feature rows fetched with the all-gather/psum_scatter collective,
+    gradients pmean-reduced explicitly.
+
+    Returns (step_fn, shard_batch, replicate, feat_sharded).
+    """
+    import dataclasses as _dc
+    import optax
+    from shadow_gnn_tpu.nn.model import predict_fn
+    from shadow_gnn_tpu.sampling.samplers import sample_subgraphs
+    from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
+
+    devs = np.array(jax.devices()[:n_devices])
+    mesh = Mesh(devs, (axis,))
+    repl = NamedSharding(mesh, P())
+    bshard = NamedSharding(mesh, P(axis))
+    trainer._ensure_tables(mode)
+    tab = pad_rows_to_shards(trainer.feat_np, n_devices)
+    feat_sharded = jax.device_put(
+        jnp.asarray(tab), NamedSharding(mesh, P(axis, None)))
+    graph_meta = trainer.graph[mode]
+    graph_arrays = jax.device_put(
+        (graph_meta.indptr, graph_meta.indices), repl)
+    tables = jax.device_put(tuple(trainer.tables[mode]), repl)
+    cfg_m, model, opt = trainer.model_cfg, trainer.model, trainer.opt
+    cfgs = tuple(br["cfg"][mode] for br in trainer.branches)
+
+    def _step(params, opt_state, rng, roots, rows, labels, w, feat_local,
+              g_arrays, tabs):
+        graph = _dc.replace(graph_meta, indptr=g_arrays[0],
+                            indices=g_arrays[1])
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+        batches, feats = [], []
+        for i, cfg in enumerate(cfgs):
+            r_samp, sub = jax.random.split(r_samp)
+            batch = sample_subgraphs(cfg, graph, roots, rng=sub,
+                                     table_rows=rows, tables=tabs[i])
+            feat = sharded_feat_gather(
+                feat_local, jnp.minimum(batch.nodes, trainer.num_nodes - 1),
+                axis)
+            feat = feat * batch.node_mask[..., None]
+            batches.append(batch)
+            feats.append(feat)
+
+        def lf(p):
+            logits, _ = model.apply(p, batches, feats, mode_train=True,
+                                    train=True,
+                                    rngs={"dropout": r_do, "dropedge": r_de})
+            return weighted_loss_fn(cfg_m, logits, labels, w)
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        grads = jax.lax.pmean(grads, axis)        # DP gradient all-reduce
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    from functools import partial as _partial
+    sharded = jax.jit(jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                  P(axis, None), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))
+
+    def step(params, opt_state, rng, roots, rows, labels, w):
+        return sharded(params, opt_state, rng, roots, rows, labels, w,
+                       feat_sharded, graph_arrays, tables)
+
+    def shard_batch(xs):
+        return tuple(jax.device_put(x, bshard) for x in xs)
+
+    def replicate(tree):
+        return jax.device_put(tree, repl)
+
+    return step, shard_batch, replicate, feat_sharded
+
+
 def make_sharded_gather_fn(mesh: Mesh, feat_tab: np.ndarray,
                            axis: str = "dp"):
     """Shard a host feature table over ``mesh`` rows; returns

@@ -78,3 +78,23 @@ def test_dp_train_step(tmp_path):
         lambda a, x: a + float(jnp.abs(x).sum()),
         jax.tree_util.tree_map(lambda a, b: a - b, p2, params), 0.0)
     assert delta > 0
+
+
+def test_sharded_feature_train_step(tmp_path):
+    """Full DP step with row-sharded features runs and learns direction."""
+    from shadow_gnn_tpu.parallel.partition import make_sharded_train_step
+    tr = _tiny_trainer(tmp_path, batch_size=16)
+    from shadow_gnn_tpu import TRAIN
+    tr._ensure_tables(TRAIN)
+    nb, roots, rows, labels, w, _, _ = tr._epoch_arrays(TRAIN)
+    step, shard_batch, replicate, _ = make_sharded_train_step(tr, TRAIN, 8)
+    params = replicate(tr.params)
+    opt_state = replicate(tr.opt_state)
+    losses = []
+    for ib in range(min(nb, 6)):
+        xs = shard_batch((roots[ib], rows[ib], labels[ib], w[ib]))
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.PRNGKey(ib), *xs)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() if hasattr(np, "isfinite") else True
+    assert losses[-1] < losses[0], losses   # loss should drop
