@@ -46,6 +46,9 @@ def build_argparser():
                    help="PPR precompute backend")
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=["bfloat16", "tensorfloat32", "float32"])
+    p.add_argument("--packed_adj", action="store_true",
+                   help="fused Pallas aggregation over the bit-packed "
+                        "subgraph cache (gcn/sage/gin)")
     p.add_argument("--meta_config", type=str, default=None,
                    help="machine meta-config yml (reference CONFIG.yml "
                         "schema: data/logging dirs, per-dataset metric)")
@@ -135,7 +138,8 @@ def main(argv=None):
     trainer = Trainer(args.dataset, args.data_dir, raw, parsed, metrics,
                       logger, seed=max(args.seed, 0),
                       use_device_ppr=use_device_ppr,
-                      matmul_precision=args.matmul_precision)
+                      matmul_precision=args.matmul_precision,
+                      packed_adj=args.packed_adj)
     print(f"TOTAL NUM OF PARAMS = "
           f"{sum(x.size for x in __import__('jax').tree_util.tree_leaves(trainer.params))}")
     if args.nocache:

@@ -148,7 +148,8 @@ class GCNConv(_ConvBase):
     def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
         f = Act(self.act, dim_out=self.dim_out)
         x = self._dropout(feat, train)
-        aggr = jnp.einsum("bij,bjf->bif", adj_norm, x)
+        aggr = adj_norm(x) if callable(adj_norm) else jnp.einsum(
+            "bij,bjf->bif", adj_norm, x)
         out = f(TorchLinear(self.dim_out)(aggr))
         scale, offset = self._norm_params((self.dim_out,))
         return self._maybe_norm(out, scale, offset, node_mask)
@@ -160,7 +161,8 @@ class SAGEConv(_ConvBase):
         f = Act(self.act, dim_out=self.dim_out)
         x = self._dropout(feat, train)
         h_self = f(TorchLinear(self.dim_out, use_bias=True)(x))
-        neigh = jnp.einsum("bij,bjf->bif", adj_norm, x)
+        neigh = adj_norm(x) if callable(adj_norm) else jnp.einsum(
+            "bij,bjf->bif", adj_norm, x)
         h_neigh = f(TorchLinear(self.dim_out, use_bias=True)(neigh))
         scale, offset = self._norm_params((2, self.dim_out))
         h_self = self._maybe_norm(h_self, scale[0], offset[0], node_mask)
@@ -174,7 +176,9 @@ class GINConv(_ConvBase):
         f = Act(self.act, dim_out=self.dim_out)
         x = self._dropout(feat, train)
         eps = self.param("eps", nn.initializers.zeros, (1,))
-        aggr = jnp.einsum("bij,bjf->bif", adj_norm, x) + (1.0 + eps) * x
+        neigh = adj_norm(x) if callable(adj_norm) else jnp.einsum(
+            "bij,bjf->bif", adj_norm, x)
+        aggr = neigh + (1.0 + eps) * x
         h = TorchLinear(self.dim_out)(aggr)
         h = TorchLinear(self.dim_out)(jax.nn.relu(h))
         out = f(h)

@@ -49,6 +49,8 @@ class ModelConfig:
     prediction_task: str = "node"
     dropout: float = 0.0
     dropedge: float = 0.0
+    # fused Pallas aggregation over bit-packed cached adjacency (TPU)
+    packed_adj: bool = False
 
     @property
     def type_pool(self) -> str:
@@ -117,8 +119,27 @@ class DeepGNN(nn.Module):
                         feat = jnp.concatenate([feat, emb_a], axis=-1)
             # adjacency prep once per branch (is_normed protocol)
             de = cfg.dropedge if train else 0.0
-            rng = self.make_rng("dropedge") if de > 0 else None
-            adj_norm, adj_struct = prepare_adj(cfg.aggr, batch.adj, rng, de)
+            packed = (cfg.packed_adj and batch.adj_bits is not None
+                      and cfg.aggr in ("gcn", "sage", "gin"))
+            if packed:
+                # fused unpack+normalize+dropedge+aggregate Pallas kernel
+                from shadow_gnn_tpu.ops.pallas_packed import packed_spmm
+                norm = {"gcn": "sym", "sage": "rw", "gin": "gin"}[cfg.aggr]
+                if de > 0:
+                    seed = jax.random.randint(self.make_rng("dropedge"), (),
+                                              0, 2**31 - 1)
+                else:
+                    seed = jnp.int32(0)
+                bits = batch.adj_bits
+
+                def agg(x, bits=bits, seed=seed):
+                    return packed_spmm(bits, x, seed, norm, de)
+
+                adj_norm, adj_struct = agg, None
+            else:
+                rng = self.make_rng("dropedge") if de > 0 else None
+                adj_norm, adj_struct = prepare_adj(cfg.aggr, batch.adj, rng,
+                                                   de)
             # conv stack with optional branch sharing (models.py:86-100)
             layer_cls = NAME2LAYER[cfg.aggr]
             share = cfg.branch_sharing and i > 0

@@ -19,6 +19,14 @@ whole chain per subgraph block inside VMEM:
 Semantics match ops/normalize.py: rw = D_drop^-1 A_drop,
 sym = D^-1/2 (M*M^T applied) D^-1/2, gin = (deg/deg_drop) row rescale,
 none = raw 0/1 (GAT handles its own softmax on the structural block).
+
+Measured on one v5e chip (SAGE-3, N=208, F=256, B=64): elementwise-
+equal outputs; ~1.6ms/call vs ~1.6ms for the XLA unpack+norm+einsum
+chain — at this block size XLA's fusion already keeps the adjacency
+chain off the critical path, so the kernel is an OPT-IN
+(--packed_adj / ModelConfig.packed_adj) aimed at the larger
+k=400/dim=800 papers100M-class blocks where the dense adjacency
+round-trip is 4x bigger.
 """
 from __future__ import annotations
 
@@ -90,6 +98,7 @@ def _kernel(seed_ref, bits_ref, x_ref, out_ref, *, n, norm, dropedge,
 
 
 def _call(bits, x, n, norm, dropedge, seed, transpose):
+    """seed is a traced int32 scalar array."""
     b, _, nbytes = bits.shape
     f = x.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -106,38 +115,40 @@ def _call(bits, x, n, norm, dropedge, seed, transpose):
     )
     kernel = functools.partial(_kernel, n=n, norm=norm, dropedge=dropedge,
                                transpose=transpose)
+    seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        interpret=jax.default_backend() == "cpu",
         out_shape=jax.ShapeDtypeStruct((b, n, f), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * n * f,
             bytes_accessed=b * (n * nbytes + 2 * n * f * 4),
             transcendentals=0),
-    )(jnp.asarray([seed], jnp.int32), bits, x)
+    )(seed_arr, bits, x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def packed_spmm(bits: jax.Array, x: jax.Array, norm: str = "none",
-                dropedge: float = 0.0, seed: int = 0) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def packed_spmm(bits: jax.Array, x: jax.Array, seed=0,
+                norm: str = "none", dropedge: float = 0.0) -> jax.Array:
     """out[b] = norm(unpack(bits[b])) @ x[b].
 
-    bits [B, N, ceil(N/8)] uint8, x [B, N, F] f32 -> [B, N, F] f32.
-    Differentiable in x (custom VJP re-derives the same normalized,
-    identically-dropedged adjacency and applies its transpose).
+    bits [B, N, ceil(N/8)] uint8, x [B, N, F] f32, seed int32 scalar
+    (traced; the same dropedge mask is regenerated in the backward
+    pass) -> [B, N, F] f32.  Differentiable in x.
     """
     assert norm in _NORMS
     return _call(bits, x, x.shape[1], norm, dropedge, seed, False)
 
 
-def _fwd(bits, x, norm, dropedge, seed):
-    return packed_spmm(bits, x, norm, dropedge, seed), (bits,)
+def _fwd(bits, x, seed, norm, dropedge):
+    return packed_spmm(bits, x, seed, norm, dropedge), (bits, seed)
 
 
-def _bwd(norm, dropedge, seed, res, g):
-    (bits,) = res
+def _bwd(norm, dropedge, res, g):
+    bits, seed = res
     dx = _call(bits, g, g.shape[1], norm, dropedge, seed, True)
-    return None, dx
+    return None, dx, None
 
 
 packed_spmm.defvjp(_fwd, _bwd)

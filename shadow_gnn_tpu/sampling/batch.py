@@ -43,6 +43,9 @@ class SubgraphBatch(NamedTuple):
     ppr: jax.Array
     drnl: jax.Array
     overflow: jax.Array = jnp.zeros((), jnp.int32)
+    # bit-packed adjacency (present on cached batches; enables the
+    # fused Pallas aggregation path, ops/pallas_packed.py)
+    adj_bits: Optional[jax.Array] = None
 
     @property
     def batch_size(self):

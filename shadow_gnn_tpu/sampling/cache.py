@@ -118,10 +118,17 @@ def build_cache(sample_fn, num_roots: int, roots_all: np.ndarray,
 
 
 def gather_batch(cache: SubgraphCache, rows: jax.Array, n_pad: int,
-                 num_nodes: int) -> SubgraphBatch:
-    """rows [B] (cache row per root) -> SubgraphBatch (jit-friendly)."""
+                 num_nodes: int, unpack: bool = True) -> SubgraphBatch:
+    """rows [B] (cache row per root) -> SubgraphBatch (jit-friendly).
+
+    unpack=False skips materializing the dense [B,N,N] block (the
+    packed Pallas aggregation path consumes adj_bits directly)."""
     nodes = cache.nodes[rows]
-    adj = unpack_bits(cache.adj_bits[rows], n_pad)
+    bits = cache.adj_bits[rows]
+    if unpack:
+        adj = unpack_bits(bits, n_pad)
+    else:
+        adj = jnp.zeros((nodes.shape[0], 1, 1), jnp.float32)
     node_mask = nodes < num_nodes
     return SubgraphBatch(
         nodes=nodes,
@@ -133,4 +140,5 @@ def gather_batch(cache: SubgraphCache, rows: jax.Array, n_pad: int,
         ppr=cache.ppr[rows],
         drnl=cache.drnl[rows].astype(jnp.int32),
         overflow=jnp.zeros((), jnp.int32),
+        adj_bits=bits,
     )

@@ -73,7 +73,8 @@ class Trainer:
     def __init__(self, name_data: str, dir_data: str, raw: RawGraph,
                  parsed: Dict[str, Any], metrics: Metrics, logger: Logger,
                  seed: int = 0, use_device_ppr: Optional[bool] = None,
-                 matmul_precision: Optional[str] = None):
+                 matmul_precision: Optional[str] = None,
+                 packed_adj: bool = False):
         self.name_data = name_data
         self.dir_data = dir_data
         self.metrics = metrics
@@ -168,6 +169,7 @@ class Trainer:
             prediction_task=self.task,
             dropout=float(self.params_train["dropout"]),
             dropedge=float(self.params_train.get("dropedge", 0.0)),
+            packed_adj=packed_adj,
         )
         self.model = DeepGNN(self.model_cfg)
         self.params = self._init_params()
@@ -369,8 +371,12 @@ class Trainer:
             cfg = br["cfg"][mode]
             rng, sub = jax.random.split(rng)
             if arrays.caches[i] is not None:
+                packed = (self.model_cfg.packed_adj
+                          and cfg.method in ("ppr",)
+                          and self.model_cfg.aggr in ("gcn", "sage", "gin"))
                 batch = gather_batch(arrays.caches[i], rows[:, 0],
-                                     cfg.n_pad, self.num_nodes)
+                                     cfg.n_pad, self.num_nodes,
+                                     unpack=not packed)
             else:
                 batch = sample_subgraphs(cfg, graph, roots,
                                          rng=sub, table_rows=rows,

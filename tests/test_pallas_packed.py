@@ -31,7 +31,7 @@ def _rand_case(rng, b=2, n=16, f=8):
 def test_packed_spmm_matches_reference(norm):
     rng = np.random.default_rng(0)
     bits, x, adj = _rand_case(rng)
-    got = pp.packed_spmm(bits, x, norm, 0.0, 0)
+    got = pp.packed_spmm(bits, x, 0, norm, 0.0)
     want = pp.packed_spmm_reference(bits, x, norm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
@@ -42,7 +42,7 @@ def test_packed_spmm_grad():
     bits, x, adj = _rand_case(rng)
 
     def f(x):
-        return (pp.packed_spmm(bits, x, "rw", 0.0, 0) ** 2).sum()
+        return (pp.packed_spmm(bits, x, 0, "rw", 0.0) ** 2).sum()
 
     def f_ref(x):
         return (pp.packed_spmm_reference(bits, x, "rw") ** 2).sum()

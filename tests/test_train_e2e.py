@@ -173,3 +173,28 @@ def test_cli_end_to_end(tmp_path):
     assert "FINAL SUMMARY:" in r.stdout
     finished = list((tmp_path / "logs" / "toy" / "finished").iterdir())
     assert len(finished) == 1
+
+
+def test_packed_adj_path_matches_dense(tmp_path):
+    """The fused Pallas aggregation path gives the same eval metrics as
+    the dense path (interpret-mode kernel on CPU)."""
+    cfg = {**BASE_CONFIG,
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 1,
+                              "dropout": 0.0, "dropedge": 0.0}}
+    tr_dense = make_trainer(tmp_path / "a", cfg)
+    tr_dense.train()
+    from shadow_gnn_tpu.train.pipeline import Trainer
+    from shadow_gnn_tpu.data import make_synthetic_dataset
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    g = make_synthetic_dataset(num_nodes=600, avg_deg=8, num_feat=16,
+                               num_classes=5, seed=3)
+    parsed = parse_config(cfg)
+    m = Metrics("toy", False, "accuracy", 1)
+    tr_packed = Trainer("toy", str(tmp_path / "b"), g, parsed, m,
+                        Logger(m, str(tmp_path / "b" / "log"), no_log=True),
+                        seed=0, use_device_ppr=False, packed_adj=True)
+    tr_packed.params = tr_dense.params          # same weights
+    p1 = tr_dense.predict_full(modes=(TEST,))
+    p2 = tr_packed.predict_full(modes=(TEST,))
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
