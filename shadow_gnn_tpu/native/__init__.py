@@ -17,6 +17,12 @@ _lib = None
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
            "-o", _SO, _SRC, "-lpthread"]
+    # SHADOW_NATIVE_TSAN=1 builds with ThreadSanitizer for concurrency
+    # checks of the multi-threaded push (per-target outputs are disjoint
+    # slots; the work queue is a single atomic counter)
+    if os.environ.get("SHADOW_NATIVE_TSAN") == "1":
+        cmd.insert(1, "-fsanitize=thread")
+        cmd.insert(1, "-g")
     subprocess.run(cmd, check=True, capture_output=True)
 
 

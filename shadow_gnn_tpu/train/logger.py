@@ -176,6 +176,22 @@ class Logger:
         np.save(path, np.asarray(arr))
         return path
 
+    def validate_result(self):
+        """Self-check like InfoEpoch.assert_valid (logging_base.py:
+        126-160): recompute the window-best validation metric with an
+        independent unfold and compare to the incremental tracker."""
+        key = self.metrics.metric_term[0]
+        hist = [s[key] for s in self.epoch_stats[VALID]]
+        if not hist:
+            return True
+        w = self.window_size
+        best = max(sum(hist[max(0, i + 1 - w):i + 1])
+                   / len(hist[max(0, i + 1 - w):i + 1])
+                   for i in range(len(hist)))
+        assert abs(best - self.metric_max_hist) < 1e-9, (
+            f"window tracker mismatch: {best} vs {self.metric_max_hist}")
+        return True
+
     # ---------------- run-dir lifecycle ----------------
     def end_training(self, status: str):
         """Move the run dir running/ -> finished|killed|crashed

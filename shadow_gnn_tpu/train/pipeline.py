@@ -204,8 +204,16 @@ class Trainer:
         for cfg_d in decoupled:
             method = cfg_d["method"]
             if method == "full":
-                raise NotImplementedError(
-                    "full-graph sampler is preprocess-phase only")
+                # FULL train mode (reference minibatch.py:226-232) is only
+                # meaningful for adjacency-free models (mlp/sgc/sign whose
+                # propagation happened in preprocessing); each target is
+                # its own single-node block, i.e. nodeIID batching
+                assert self.arch["aggr"] in ("mlp", "sgc", "sign"), (
+                    "full-graph TRAIN sampling requires an adjacency-free "
+                    "model (mlp/sgc/sign); graph convs need a subgraph "
+                    "sampler")
+                cfg_d = dict(cfg_d)
+                cfg_d["method"] = method = "nodeIID"
             n_pad = default_n_pad(cfg_d, self.num_targets)
             common = dict(
                 n_pad=n_pad,
@@ -624,6 +632,7 @@ class Trainer:
             if log_test_convergence > 0 and e % log_test_convergence == 0:
                 self.run_epoch(e // log_test_convergence, TEST)
             self.logger.update_best_model(e, self.params, self.opt_state)
+        self.logger.validate_result()
         print("=" * 22 + "\nOptimization Finished!\n" + "=" * 22)
         best_params, best_opt = self.logger.restore_model(self.params,
                                                           self.opt_state)

@@ -198,3 +198,16 @@ def test_packed_adj_path_matches_dense(tmp_path):
     p1 = tr_dense.predict_full(modes=(TEST,))
     p2 = tr_packed.predict_full(modes=(TEST,))
     np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
+
+
+def test_full_sampler_mlp_training(tmp_path):
+    """'full' train sampler with an adjacency-free model (sgc-style)."""
+    cfg = {**BASE_CONFIG,
+           "architecture": {**BASE_CONFIG["architecture"], "aggr": "mlp",
+                            "feature_augment": "none"},
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 3,
+                              "dropedge": 0.0},
+           "sampler": [{"method": "full", "phase": "train"}]}
+    tr = make_trainer(tmp_path, cfg)
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.4
