@@ -211,3 +211,51 @@ def test_full_sampler_mlp_training(tmp_path):
     tr = make_trainer(tmp_path, cfg)
     tr.train()
     assert tr.logger.final_stats[TEST]["accuracy"] > 0.4
+
+
+def test_cli_postproc_flows(tmp_path):
+    """train -> C&S postproc -> ensemble postproc, all through the CLI."""
+    import yaml
+    g = make_synthetic_dataset(num_nodes=400, avg_deg=8, num_feat=8,
+                               num_classes=4, seed=1)
+    save_shadow_format(str(tmp_path / "data"), "toy", indptr=g.indptr_full,
+                       indices=g.indices_full, feat=g.feat_full,
+                       label=g.label_full, node_set=g.node_set)
+    cfg = {**BASE_CONFIG,
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2},
+           "sampler": [{"method": "ppr", "phase": "train", "k": [12],
+                        "epsilon": [1e-5]}]}
+    yaml.dump(cfg, open(tmp_path / "toy.yml", "w"))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    base = [sys.executable, "-m", "shadow_gnn_tpu.main", "--dataset", "toy",
+            "--data_dir", str(tmp_path / "data"),
+            "--log_dir", str(tmp_path / "logs"), "--platform", "cpu",
+            "--device_ppr", "device"]
+    r = subprocess.run(base + ["--configs", str(tmp_path / "toy.yml"),
+                               "--seed", "2"],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    import glob as g_
+    run_dir = g_.glob(str(tmp_path / "logs" / "toy" / "finished" / "*"))[0]
+    # C&S
+    yaml.dump({"method": "cs", "dir_pred_mat": [run_dir],
+               "hyperparameter": {"norm_sym": False, "alpha": 0.8}},
+              open(tmp_path / "cs.yml", "w"))
+    r2 = subprocess.run(base + ["--postproc_configs", str(tmp_path / "cs.yml")],
+                        capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stdout[-1500:] + r2.stderr[-1500:]
+    assert "C&S acc" in r2.stdout
+    # ensemble
+    yaml.dump({"method": "ensemble", "dir_emb_mat": {"ppr": [run_dir]},
+               "architecture": {"dim": 32, "act": "leakyrelu",
+                                "loss": "softmax"},
+               "hyperparameter": {"lr": 0.02, "batch_size": 64, "end": 5,
+                                  "dropout": 0.0},
+               "repeat_per_emb": 1},
+              open(tmp_path / "ens.yml", "w"))
+    r3 = subprocess.run(base + ["--postproc_configs", str(tmp_path / "ens.yml")],
+                        capture_output=True, text=True, env=env)
+    assert r3.returncode == 0, r3.stdout[-1500:] + r3.stderr[-1500:]
+    assert "post-ensemble test" in r3.stdout
