@@ -7,8 +7,6 @@ environments with no network egress.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
-
 import numpy as np
 
 from shadow_gnn_tpu import TRAIN, VALID, TEST

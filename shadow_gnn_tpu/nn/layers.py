@@ -23,7 +23,7 @@ U(-1/sqrt(fan_in)) init so training dynamics track the reference.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

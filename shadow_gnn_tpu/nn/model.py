@@ -10,16 +10,16 @@ reused across the conv stack (the reference's is_normed protocol).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from shadow_gnn_tpu.nn.layers import NAME2LAYER, MLPLayer, TorchLinear, get_act
+from shadow_gnn_tpu.nn.layers import NAME2LAYER, MLPLayer, TorchLinear
 from shadow_gnn_tpu.nn.respool import EnsembleAggregator, ResPool
 from shadow_gnn_tpu.ops.normalize import prepare_adj
-from shadow_gnn_tpu.sampling.batch import AUG2DIM, SubgraphBatch, batch_aug_onehots
+from shadow_gnn_tpu.sampling.batch import SubgraphBatch, batch_aug_onehots
 
 
 @dataclasses.dataclass(frozen=True)

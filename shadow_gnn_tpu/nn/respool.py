@@ -13,13 +13,13 @@ F.embedding_bag over block-diagonal offsets.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from shadow_gnn_tpu.nn.layers import Act, TorchLinear, get_act, norm_feat
+from shadow_gnn_tpu.nn.layers import Act, TorchLinear, norm_feat
 from shadow_gnn_tpu.ops.segment import (
     masked_max_pool, masked_mean_pool, masked_sort_pool, masked_sum_pool,
 )

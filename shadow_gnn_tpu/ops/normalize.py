@@ -15,8 +15,6 @@ without host-side index generation.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

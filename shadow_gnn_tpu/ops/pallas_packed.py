@@ -31,8 +31,6 @@ round-trip is 4x bigger.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,6 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from shadow_gnn_tpu.nn.model import predict_fn
 from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
 
 

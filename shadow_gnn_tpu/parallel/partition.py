@@ -14,8 +14,6 @@ path trades negligible latency for removing the single-chip HBM limit.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,7 +67,6 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
     """
     import dataclasses as _dc
     import optax
-    from shadow_gnn_tpu.nn.model import predict_fn
     from shadow_gnn_tpu.sampling.samplers import sample_subgraphs
     from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
 
@@ -119,7 +116,6 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    from functools import partial as _partial
     sharded = jax.jit(jax.shard_map(
         _step, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),

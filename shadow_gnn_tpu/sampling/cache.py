@@ -19,7 +19,7 @@ induction, cutting the per-step sampling cost by ~10x.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

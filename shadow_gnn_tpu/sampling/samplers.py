@@ -17,7 +17,6 @@ ppr_st       cpp:603-650                   exponential-race top-k
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

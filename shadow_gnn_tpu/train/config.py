@@ -9,7 +9,7 @@ shipped ``config_train`` ymls drive this framework directly.
 from __future__ import annotations
 
 import copy
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import yaml
 

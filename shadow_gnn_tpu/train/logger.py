@@ -23,7 +23,7 @@ import yaml
 from flax import serialization
 
 from shadow_gnn_tpu import MODE2STR, TRAIN, VALID, TEST
-from shadow_gnn_tpu.train.metrics import METRICS, Metrics
+from shadow_gnn_tpu.train.metrics import Metrics
 
 
 class Logger:

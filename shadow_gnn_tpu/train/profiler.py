@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Dict, List
 
-import jax.numpy as jnp
 import numpy as np
 
 from shadow_gnn_tpu.sampling.batch import DIM_1HOT_HOP, SubgraphBatch, hop2onehot
