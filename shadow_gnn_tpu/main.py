@@ -46,6 +46,9 @@ def build_argparser():
                    help="PPR precompute backend")
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=["bfloat16", "tensorfloat32", "float32"])
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation dtype (params/logits stay f32)")
     p.add_argument("--packed_adj", action="store_true",
                    help="fused Pallas aggregation over the bit-packed "
                         "subgraph cache (gcn/sage/gin)")
@@ -139,7 +142,8 @@ def main(argv=None):
                       logger, seed=max(args.seed, 0),
                       use_device_ppr=use_device_ppr,
                       matmul_precision=args.matmul_precision,
-                      packed_adj=args.packed_adj)
+                      packed_adj=args.packed_adj,
+                      compute_dtype=args.compute_dtype)
     print(f"TOTAL NUM OF PARAMS = "
           f"{sum(x.size for x in __import__('jax').tree_util.tree_leaves(trainer.params))}")
     if args.nocache:

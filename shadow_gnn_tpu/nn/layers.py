@@ -38,7 +38,11 @@ def torch_linear_init(key, shape, dtype=jnp.float32):
 
 
 class TorchLinear(nn.Module):
-    """Dense layer with torch's default init (weight [in, out])."""
+    """Dense layer with torch's default init (weight [in, out]).
+
+    Parameters stay float32; compute follows the input dtype (bf16
+    activations run the matmul on the MXU in bf16 with f32 accumulate).
+    """
 
     features: int
     use_bias: bool = True
@@ -46,7 +50,7 @@ class TorchLinear(nn.Module):
     @nn.compact
     def __call__(self, x):
         w = self.param("kernel", torch_linear_init, (x.shape[-1], self.features))
-        y = x @ w
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
         if self.use_bias:
             fan_in = x.shape[-1]
 
@@ -54,7 +58,8 @@ class TorchLinear(nn.Module):
                 bound = 1.0 / jnp.sqrt(fan_in)
                 return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-            y = y + self.param("bias", bias_init, (self.features,))
+            y = y + self.param("bias", bias_init,
+                               (self.features,)).astype(y.dtype)
         return y
 
 
@@ -91,10 +96,15 @@ class Act(nn.Module):
 
 
 def norm_feat(feat: jax.Array, scale: jax.Array, offset: jax.Array) -> jax.Array:
-    """Reference layers.py:329-338: per-row affine layernorm."""
-    mean = feat.mean(-1, keepdims=True)
-    var = ((feat - mean) ** 2).mean(-1, keepdims=True) + 1e-9
-    return (feat - mean) * scale * jax.lax.rsqrt(var) + offset
+    """Reference layers.py:329-338: per-row affine layernorm.
+
+    Statistics accumulate in float32 regardless of activation dtype."""
+    dt = feat.dtype
+    f32 = feat.astype(jnp.float32)
+    mean = f32.mean(-1, keepdims=True)
+    var = ((f32 - mean) ** 2).mean(-1, keepdims=True) + 1e-9
+    out = (f32 - mean) * scale * jax.lax.rsqrt(var) + offset
+    return out.astype(dt)
 
 
 def pairnorm(feat: jax.Array, node_mask: jax.Array, s: float = 1.0) -> jax.Array:

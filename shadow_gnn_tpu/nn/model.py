@@ -51,6 +51,8 @@ class ModelConfig:
     dropedge: float = 0.0
     # fused Pallas aggregation over bit-packed cached adjacency (TPU)
     packed_adj: bool = False
+    # activation dtype: 'float32' | 'bfloat16' (params/logits stay f32)
+    compute_dtype: str = "float32"
 
     @property
     def type_pool(self) -> str:
@@ -90,11 +92,12 @@ class DeepGNN(nn.Module):
         Returns (logits [B', C], emb_ens list of [B', H]).
         """
         cfg = self.cfg
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         emb_ens = []
         conv_defs = None
         for i in range(cfg.num_ensemble):
             batch, feat = batches[i], feats[i]
-            feat = feat * batch.node_mask[..., None]
+            feat = (feat * batch.node_mask[..., None]).astype(cdt)
             # zero label inputs at targets during training (models.py:182)
             if cfg.dim_label_smooth > 0 and mode_train:
                 t_oh = jax.nn.one_hot(batch.targets, feat.shape[1]).sum(1)
@@ -121,7 +124,7 @@ class DeepGNN(nn.Module):
             de = cfg.dropedge if train else 0.0
             packed = (cfg.packed_adj and batch.adj_bits is not None
                       and cfg.aggr in ("gcn", "sage", "gin"))
-            if packed:
+            if packed and cdt == jnp.float32:
                 # fused unpack+normalize+dropedge+aggregate Pallas kernel
                 from shadow_gnn_tpu.ops.pallas_packed import packed_spmm
                 norm = {"gcn": "sym", "sage": "rw", "gin": "gin"}[cfg.aggr]
@@ -140,6 +143,8 @@ class DeepGNN(nn.Module):
                 rng = self.make_rng("dropedge") if de > 0 else None
                 adj_norm, adj_struct = prepare_adj(cfg.aggr, batch.adj, rng,
                                                    de)
+                if cdt != jnp.float32 and not callable(adj_norm):
+                    adj_norm = adj_norm.astype(cdt)
             # conv stack with optional branch sharing (models.py:86-100)
             layer_cls = NAME2LAYER[cfg.aggr]
             share = cfg.branch_sharing and i > 0
@@ -163,7 +168,8 @@ class DeepGNN(nn.Module):
                 prediction_task=cfg.prediction_task,
                 name=f"res_pool_{i}")(xjk, batch.targets, batch.node_mask,
                                       train=train)
-            # L2 normalize (models.py:200)
+            # L2 normalize (models.py:200) — in f32 for stability
+            emb = emb.astype(jnp.float32)
             emb = emb / jnp.clip(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12, None)
             emb_ens.append(emb)
@@ -186,7 +192,7 @@ class DeepGNN(nn.Module):
                 act="I" if last else cfg.act,
                 norm=norm_type,
                 name=f"classifier_{l}")(h, train=train)
-        return h, emb_ens
+        return h.astype(jnp.float32), emb_ens
 
 
 def loss_fn(cfg: ModelConfig, logits: jax.Array, labels: jax.Array) -> jax.Array:

@@ -74,7 +74,7 @@ class Trainer:
                  parsed: Dict[str, Any], metrics: Metrics, logger: Logger,
                  seed: int = 0, use_device_ppr: Optional[bool] = None,
                  matmul_precision: Optional[str] = None,
-                 packed_adj: bool = False):
+                 packed_adj: bool = False, compute_dtype: str = "float32"):
         self.name_data = name_data
         self.dir_data = dir_data
         self.metrics = metrics
@@ -170,6 +170,7 @@ class Trainer:
             dropout=float(self.params_train["dropout"]),
             dropedge=float(self.params_train.get("dropedge", 0.0)),
             packed_adj=packed_adj,
+            compute_dtype=compute_dtype,
         )
         self.model = DeepGNN(self.model_cfg)
         self.params = self._init_params()

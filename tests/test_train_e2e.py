@@ -259,3 +259,19 @@ def test_cli_postproc_flows(tmp_path):
                         capture_output=True, text=True, env=env)
     assert r3.returncode == 0, r3.stdout[-1500:] + r3.stderr[-1500:]
     assert "post-ensemble test" in r3.stdout
+
+
+def test_bf16_compute_dtype(tmp_path):
+    """bf16 activations train to similar accuracy as f32."""
+    from shadow_gnn_tpu.train.pipeline import Trainer
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    g = make_synthetic_dataset(num_nodes=600, avg_deg=8, num_feat=16,
+                               num_classes=5, seed=3)
+    parsed = parse_config(BASE_CONFIG)
+    m = Metrics("toy", False, "accuracy", 1)
+    tr = Trainer("toy", str(tmp_path), g, parsed, m,
+                 Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
+                 use_device_ppr=False, compute_dtype="bfloat16")
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.5
