@@ -158,3 +158,31 @@ def test_all_reference_configs_parse():
         for c in decouple_ensemble(p["config_sampler_train"]["configs"]):
             if c["method"] != "full":
                 assert default_n_pad(c) > 0
+
+
+def test_logger_window_selection(tmp_path):
+    """Window-averaged best-model selection (center/last/best aggr)."""
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+
+    def run(aggr, metrics_seq):
+        m = Metrics("toy", False, "accuracy", 2)
+        lg = Logger(m, str(tmp_path / aggr), term_window_size=2,
+                    term_window_aggr=aggr, no_log=True)
+        for ep, acc in enumerate(metrics_seq):
+            lg.log_epoch(VALID, ep, {"loss": 1.0 - acc, "accuracy": acc})
+            lg.update_best_model(ep, {"w": np.ones(1) * ep}, {"o": 0})
+        lg.validate_result()
+        return lg
+
+    seq = [0.5, 0.6, 0.9, 0.7, 0.4]
+    # best window = epochs (2,3) avg 0.8
+    lg = run("center", seq)
+    assert lg.best_epoch == 3     # window [2,3], center pick = index 1
+    lg2 = run("last", seq)
+    assert lg2.best_epoch == 3
+    lg3 = run("best_accuracy", seq)
+    assert lg3.best_epoch == 2    # highest acc within the window
+    # restored params match the elected epoch
+    p, _ = lg3.restore_model(None)
+    assert float(p["w"][0]) == 2
