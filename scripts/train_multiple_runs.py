@@ -35,8 +35,8 @@ def main():
     p.add_argument("--dataset", required=True)
     p.add_argument("--data_dir", default="./data")
     p.add_argument("--log_dir", default="./logs")
-    p.add_argument("--extra", nargs="*", default=[])
-    args = p.parse_args()
+    args, extra = p.parse_known_args()
+    args.extra = extra      # unknown flags forward to shadow_gnn_tpu.main
 
     results = []
     for rep in range(args.repetition):

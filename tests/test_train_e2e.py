@@ -275,3 +275,56 @@ def test_bf16_compute_dtype(tmp_path):
                  use_device_ppr=False, compute_dtype="bfloat16")
     tr.train()
     assert tr.logger.final_stats[TEST]["accuracy"] > 0.5
+
+
+def test_reference_yml_drives_training(tmp_path):
+    """An unmodified reference config yml (flickr flagship) drives this
+    framework on a synthetic graph."""
+    path = "/root/reference/config_train/flickr/vanilla/sage_3_ppr.yml"
+    if not os.path.isfile(path):
+        pytest.skip("reference configs unavailable")
+    parsed = parse_config(path)
+    parsed["params_train"]["end"] = 2            # shorten for CI
+    parsed["config_data"]["to_undirected"] = False
+    parsed["config_data"]["transductive"] = True
+    g = make_synthetic_dataset(num_nodes=500, avg_deg=8, num_feat=16,
+                               num_classes=5, seed=3)
+    m = Metrics("toy", False, "accuracy", 1)
+    logger = Logger(m, str(tmp_path / "log"), no_log=True)
+    # shrink k for test speed while keeping the config's structure
+    parsed["config_sampler_train"]["configs"][0]["k"] = [16]
+    tr = Trainer("toy", str(tmp_path), g, parsed, m, logger, seed=0,
+                 use_device_ppr=False)
+    assert tr.model_cfg.aggr == "sage" and tr.model_cfg.num_layers == 3
+    assert tr.model_cfg.dropout == 0.45 and tr.model_cfg.dropedge == 0.05
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
+
+
+def test_multirun_wrapper(tmp_path):
+    """scripts/train_multiple_runs.py aggregates FINAL SUMMARY lines."""
+    import yaml
+    g = make_synthetic_dataset(num_nodes=300, avg_deg=6, num_feat=8,
+                               num_classes=3, seed=1)
+    save_shadow_format(str(tmp_path / "data"), "toy", indptr=g.indptr_full,
+                       indices=g.indices_full, feat=g.feat_full,
+                       label=g.label_full, node_set=g.node_set)
+    cfg = {**BASE_CONFIG,
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 1},
+           "sampler": [{"method": "ppr", "phase": "train", "k": [8],
+                        "epsilon": [1e-5]}]}
+    yaml.dump(cfg, open(tmp_path / "toy.yml", "w"))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    r = subprocess.run(
+        [sys.executable, "scripts/train_multiple_runs.py",
+         "--repetition", "2", "--configs", str(tmp_path / "toy.yml"),
+         "--dataset", "toy", "--data_dir", str(tmp_path / "data"),
+         "--log_dir", str(tmp_path / "logs"),
+         "--platform", "cpu", "--device_ppr", "device"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert "AGGREGATE over 2 runs" in r.stdout
+    assert "test   accuracy" in r.stdout or "accuracy" in r.stdout
