@@ -328,3 +328,23 @@ def test_multirun_wrapper(tmp_path):
     assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
     assert "AGGREGATE over 2 runs" in r.stdout
     assert "test   accuracy" in r.stdout or "accuracy" in r.stdout
+
+
+def test_mixed_method_ensemble(tmp_path):
+    """Ensemble mixing a deterministic ppr branch (cached) with a
+    stochastic khop branch (resampled each step)."""
+    cfg = {**BASE_CONFIG,
+           "sampler": [
+               {"method": "ppr", "phase": "train", "k": [12],
+                "epsilon": [1e-5]},
+               {"method": "khop", "phase": "train", "depth": [2],
+                "budget": [4]},
+           ],
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+    tr = make_trainer(tmp_path, cfg)
+    assert tr.num_ensemble == 2
+    tr.train()
+    from shadow_gnn_tpu import TRAIN as _TR
+    assert tr.caches[_TR][0] is not None     # ppr branch cached
+    assert tr.caches[_TR][1] is None         # khop branch not cached
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
