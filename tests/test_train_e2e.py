@@ -348,3 +348,43 @@ def test_mixed_method_ensemble(tmp_path):
     assert tr.caches[_TR][0] is not None     # ppr branch cached
     assert tr.caches[_TR][1] is None         # khop branch not cached
     assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
+
+
+def test_inductive_training(tmp_path):
+    """Inductive setting: TRAIN samples over adj_train, eval over
+    adj_full (reference main.py:64 / loader.py:80-95)."""
+    import yaml
+    g = make_synthetic_dataset(num_nodes=500, avg_deg=8, num_feat=8,
+                               num_classes=4, seed=2)
+    tr_nodes = g.node_set[TRAIN]
+    in_train = np.zeros(g.num_nodes, bool)
+    in_train[tr_nodes] = True
+    # adj_train = edges among train nodes only
+    deg = np.diff(g.indptr_full)
+    src = np.repeat(np.arange(g.num_nodes), deg)
+    keep = in_train[src] & in_train[g.indices_full]
+    src_k, dst_k = src[keep], g.indices_full[keep]
+    indptr_tr = np.zeros(g.num_nodes + 1, np.int64)
+    np.add.at(indptr_tr, src_k + 1, 1)
+    indptr_tr = np.cumsum(indptr_tr).astype(np.int32)
+    save_shadow_format(str(tmp_path / "data"), "toy", indptr=g.indptr_full,
+                       indices=g.indices_full, feat=g.feat_full,
+                       label=g.label_full, node_set=g.node_set,
+                       indptr_train=indptr_tr,
+                       indices_train=dst_k.astype(np.int32))
+    raw = load_data(str(tmp_path / "data"), "toy",
+                    {"to_undirected": False, "transductive": False})
+    assert not raw.is_transductive
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    parsed = parse_config({**BASE_CONFIG,
+                           "data": {"transductive": False},
+                           "hyperparameter": {
+                               **BASE_CONFIG["hyperparameter"], "end": 2}})
+    m = Metrics("toy", False, "accuracy", 1)
+    tr = Trainer("toy", str(tmp_path), raw, parsed, m,
+                 Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
+                 use_device_ppr=False)
+    assert tr.graph[TRAIN].num_edges < tr.graph[TEST].num_edges
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
