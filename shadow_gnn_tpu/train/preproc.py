@@ -119,6 +119,35 @@ def smooth_signal_full(indptr, indices, signal: np.ndarray, type_norm: str,
     return outs[-1]     # 'last'
 
 
+def smooth_signal_per_mode(trainer, signal: np.ndarray, type_norm: str,
+                           order: int, reduction: str,
+                           args: Dict) -> np.ndarray:
+    """Inductive per-mode smoothening (preproc.py:167-202).
+
+    Each mode's signal rows are smoothed over that mode's adjacency
+    (adj_train for TRAIN, adj_full for VALID/TEST — the reference's FULL
+    preprocess sampler returns the per-mode graph as the one batch) and
+    written back only at that mode's entity rows; rows outside every
+    split stay zero, matching the reference's zero-initialized
+    ``signal_new`` (preproc.py:141).
+    """
+    assert trainer.task == "node", \
+        "inductive smoothening preproc is node-task only (preproc.py:170)"
+    out = None
+    # VALID/TEST share adj_full: one pass covers both
+    groups = [((VALID, TEST), trainer._host_adj[TEST]),
+              ((TRAIN,), trainer._host_adj[TRAIN])]
+    for modes, (indptr, indices) in groups:
+        sm = smooth_signal_full(indptr, indices, signal, type_norm, order,
+                                reduction, args)
+        if out is None:
+            out = np.zeros((trainer.num_nodes, sm.shape[1]), np.float32)
+        for m in modes:
+            ent = np.asarray(trainer.entity_set[m])
+            out[ent] = sm[ent]
+    return out
+
+
 def prepare_raw_label(label_np: np.ndarray, entity_set, use_label: str,
                       num_nodes: int) -> np.ndarray:
     """One-hot train(+valid) labels as input features (preproc.py:206-225)."""
@@ -144,27 +173,31 @@ def preprocess_signals(trainer) -> Tuple[np.ndarray, int, int]:
     """Run the configured preprocessing; returns
     (feat_full_new, dim_feat_smooth, dim_label_smooth).
 
-    Only the transductive full-graph path is supported (the variant all
-    shipped configs use: 'full' preprocess sampler + transductive data).
+    Transductive data takes the full-graph path (smooth_signals_fullg's
+    FULL+transductive branch, preproc.py:143-165); inductive data takes
+    the per-mode path (preproc.py:167-202).
     """
     arch = trainer.arch
     indptr, indices = trainer._host_adj[TEST]
     feat = trainer.feat_np
+
+    def _smooth(signal, cfg_str):
+        tn, order, red, args = decode_smoothen_config(cfg_str)
+        if trainer.is_transductive:
+            return smooth_signal_full(indptr, indices, signal, tn, order,
+                                      red, args)
+        return smooth_signal_per_mode(trainer, signal, tn, order, red, args)
+
     if arch["feature_smoothen"] != "none":
-        assert trainer.is_transductive, \
-            "subgraph-wise (inductive) smoothening not yet supported"
-        tn, order, red, args = decode_smoothen_config(arch["feature_smoothen"])
-        feat = smooth_signal_full(indptr, indices, feat, tn, order, red, args)
+        feat = _smooth(feat, arch["feature_smoothen"])
     dim_feat_smooth = feat.shape[1]
     dim_label_smooth = 0
     if arch["use_label"] != "none":
-        assert trainer.is_transductive and trainer.task == "node"
+        assert trainer.task == "node"
         label_feat = prepare_raw_label(trainer.label_np, trainer.entity_set,
                                        arch["use_label"], trainer.num_nodes)
         if arch["label_smoothen"] != "none":
-            tn, order, red, args = decode_smoothen_config(arch["label_smoothen"])
-            label_feat = smooth_signal_full(indptr, indices, label_feat, tn,
-                                            order, red, args)
+            label_feat = _smooth(label_feat, arch["label_smoothen"])
         dim_label_smooth = label_feat.shape[1]
         feat = np.concatenate([feat, label_feat], axis=1)
     return feat.astype(np.float32), dim_feat_smooth, dim_label_smooth

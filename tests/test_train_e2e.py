@@ -350,16 +350,15 @@ def test_mixed_method_ensemble(tmp_path):
     assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
 
 
-def test_inductive_training(tmp_path):
-    """Inductive setting: TRAIN samples over adj_train, eval over
-    adj_full (reference main.py:64 / loader.py:80-95)."""
-    import yaml
-    g = make_synthetic_dataset(num_nodes=500, avg_deg=8, num_feat=8,
-                               num_classes=4, seed=2)
+def make_inductive_raw(tmp_path, num_nodes=500, num_feat=8, num_classes=4,
+                       seed=2):
+    """Synthetic inductive dataset: adj_train = edges among train nodes."""
+    g = make_synthetic_dataset(num_nodes=num_nodes, avg_deg=8,
+                               num_feat=num_feat, num_classes=num_classes,
+                               seed=seed)
     tr_nodes = g.node_set[TRAIN]
     in_train = np.zeros(g.num_nodes, bool)
     in_train[tr_nodes] = True
-    # adj_train = edges among train nodes only
     deg = np.diff(g.indptr_full)
     src = np.repeat(np.arange(g.num_nodes), deg)
     keep = in_train[src] & in_train[g.indices_full]
@@ -372,8 +371,14 @@ def test_inductive_training(tmp_path):
                        label=g.label_full, node_set=g.node_set,
                        indptr_train=indptr_tr,
                        indices_train=dst_k.astype(np.int32))
-    raw = load_data(str(tmp_path / "data"), "toy",
-                    {"to_undirected": False, "transductive": False})
+    return load_data(str(tmp_path / "data"), "toy",
+                     {"to_undirected": False, "transductive": False})
+
+
+def test_inductive_training(tmp_path):
+    """Inductive setting: TRAIN samples over adj_train, eval over
+    adj_full (reference main.py:64 / loader.py:80-95)."""
+    raw = make_inductive_raw(tmp_path)
     assert not raw.is_transductive
     from shadow_gnn_tpu.train.logger import Logger
     from shadow_gnn_tpu.train.metrics import Metrics
@@ -386,5 +391,49 @@ def test_inductive_training(tmp_path):
                  Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
                  use_device_ppr=False)
     assert tr.graph[TRAIN].num_edges < tr.graph[TEST].num_edges
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
+
+
+def test_inductive_smoothening(tmp_path):
+    """Inductive per-mode smoothening (reference preproc.py:167-202):
+    TRAIN rows smoothed over adj_train, VALID/TEST rows over adj_full,
+    rows outside every split stay zero."""
+    raw = make_inductive_raw(tmp_path)
+    parsed = parse_config({**BASE_CONFIG,
+                           "data": {"transductive": False},
+                           "architecture": {**BASE_CONFIG["architecture"],
+                                            "use_label": "no_valid",
+                                            "feature_smoothen": "sym-2-concat"},
+                           "hyperparameter": {
+                               **BASE_CONFIG["hyperparameter"], "end": 2}})
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu.train.preproc import smooth_signal_full
+    m = Metrics("toy", False, "accuracy", 1)
+    tr = Trainer("toy", str(tmp_path), raw, parsed, m,
+                 Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
+                 use_device_ppr=False)
+    assert tr.dim_feat_smooth == 8 * 3       # order-2 concat
+    assert tr.dim_label_smooth == 4
+    feat_s = tr.feat_np[:, :tr.dim_feat_smooth]
+    # oracle: full-graph and train-graph smoothening
+    sm_full = smooth_signal_full(raw.indptr_full, raw.indices_full,
+                                 np.asarray(raw.feat_full, np.float32),
+                                 "sym", 2, "concat", {})
+    sm_train = smooth_signal_full(raw.indptr_train, raw.indices_train,
+                                  np.asarray(raw.feat_full, np.float32),
+                                  "sym", 2, "concat", {})
+    in_split = np.zeros(raw.num_nodes, bool)
+    for md in (TRAIN, VALID, TEST):
+        in_split[np.asarray(raw.node_set[md])] = True
+    assert np.all(feat_s[~in_split] == 0)
+    np.testing.assert_allclose(feat_s[raw.node_set[TRAIN]],
+                               sm_train[raw.node_set[TRAIN]], atol=1e-5)
+    np.testing.assert_allclose(feat_s[raw.node_set[TEST]],
+                               sm_full[raw.node_set[TEST]], atol=1e-5)
+    # train-graph smoothening genuinely differs from full-graph
+    assert not np.allclose(sm_train[raw.node_set[TRAIN]],
+                           sm_full[raw.node_set[TRAIN]])
     tr.train()
     assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
