@@ -130,7 +130,7 @@ def convert_ogb_node(prefix: str, name: str):
         feat=graph["node_feat"], label=label, node_set=node_set)
 
 
-def convert_ogb_link(prefix: str, name: str, valedges_as_input: bool = False):
+def convert_ogb_link(prefix: str, name: str):
     """OGB link-property dataset -> shaDow (data_converter.py:244-311)."""
     from ogb.linkproppred import LinkPropPredDataset
     ds = LinkPropPredDataset(name=OGB_NAME[name], root=f"{prefix}/_ogb")
@@ -146,9 +146,18 @@ def convert_ogb_link(prefix: str, name: str, valedges_as_input: bool = False):
         TEST: {"pos": np.asarray(split["test"]["edge"], np.int64),
                "neg": np.asarray(split["test"]["edge_neg"], np.int64)},
     }
+    # alternative adj_full with validation edges added both directions
+    # (reference data_converter.py:357-373); always converted so a later
+    # valedges_as_input run needs no re-download
+    val = np.asarray(split["valid"]["edge"], np.int64)
+    src_wv = np.concatenate([src.astype(np.int64), val[:, 0], val[:, 1]])
+    dst_wv = np.concatenate([dst.astype(np.int64), val[:, 1], val[:, 0]])
+    key = np.unique(src_wv * n + dst_wv)
+    indptr_wv, indices_wv = _coo_to_csr(key // n, key % n, n)
     return fmt.save_shadow_format(
         prefix, name, indptr=indptr, indices=indices,
-        feat=graph["node_feat"], label=None, edge_set=edge_set)
+        feat=graph["node_feat"], label=None, edge_set=edge_set,
+        indptr_with_val=indptr_wv, indices_with_val=indices_wv)
 
 
 def convert2shadow(name_data: str, prefix: str,

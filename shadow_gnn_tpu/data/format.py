@@ -51,15 +51,17 @@ def _save_adj_npy(path: str, indptr: np.ndarray, indices: np.ndarray):
     np.save(path, {"indptr": indptr, "indices": indices}, allow_pickle=True)
 
 
-def load_adj(prefix: str, dataset: str, type_: str, split_: str
-             ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+def load_adj(prefix: str, dataset: str, type_: str, split_: str,
+             suffix: str = "") -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Load an adjacency as (indptr, indices), or None if absent.
 
     Accepts both the .npz (scipy.save_npz) and .npy (dict) encodings used
-    by the reference (``loader.py:124-149``).
+    by the reference (``loader.py:124-149``).  ``suffix='_with_val'``
+    selects the link-task variant whose adj_full also contains the
+    validation edges (``data_converter.py:357-373``).
     """
     assert split_ in ("full", "train") and type_ in ("raw", "undirected")
-    base = f"{prefix}/{dataset}/adj_{split_}_{type_}"
+    base = f"{prefix}/{dataset}/adj_{split_}_{type_}{suffix}"
     if os.path.isfile(base + ".npz"):
         with np.load(base + ".npz") as z:
             # scipy csr_matrix save_npz layout
@@ -90,13 +92,19 @@ def write_bin_csr(dir_cpp: str, split_: str, type_: str,
 
 def save_shadow_format(prefix: str, name: str, *, indptr, indices, feat, label,
                        node_set=None, edge_set=None, indptr_train=None,
-                       indices_train=None, write_bin: bool = True):
+                       indices_train=None, indptr_with_val=None,
+                       indices_with_val=None, write_bin: bool = True):
     """Write a dataset directory in shaDow format."""
     d = f"{prefix}/{name}"
     os.makedirs(d, exist_ok=True)
     _save_adj_npy(f"{d}/adj_full_raw.npy", indptr, indices)
     if indptr_train is not None:
         _save_adj_npy(f"{d}/adj_train_raw.npy", indptr_train, indices_train)
+    if indptr_with_val is not None:
+        # link-task alternative adj_full incl. validation edges
+        # (reference adj_full_raw_with_val, data_converter.py:373)
+        _save_adj_npy(f"{d}/adj_full_raw_with_val.npy", indptr_with_val,
+                      indices_with_val)
     np.save(f"{d}/feat_full.npy", np.asarray(feat, dtype=np.float32))
     if label is not None:
         np.save(f"{d}/label_full.npy", label)

@@ -36,9 +36,17 @@ def load_data(prefix: str, dataset: str, config_data: Dict[str, Any],
     is_link = isinstance(next(iter(role.values())), dict)
     node_set = edge_set = None
     label_full = None
+    suffix = ""
     if is_link:
         config_data = dict(config_data)
         config_data["transductive"] = True
+        # valedges_as_input (collab alternative setting): adj_full also
+        # contains the validation edges.  The reference converts this
+        # variant (data_converter.py:357-373) but its loader leaves
+        # surfix_adj_f unset (loader.py:33) — we wire the intended
+        # semantics through.
+        if config_data.get("valedges_as_input", False):
+            suffix = "_with_val"
         edge_set = {
             m: {k: np.asarray(v, dtype=np.int64) for k, v in role[m].items()}
             for m in (TRAIN, VALID, TEST)
@@ -47,19 +55,20 @@ def load_data(prefix: str, dataset: str, config_data: Dict[str, Any],
         node_set = {m: np.asarray(role[m], dtype=np.int64) for m in (TRAIN, VALID, TEST)}
         label_full = np.load(f"{d}/label_full.npy")
 
-    def load_und(split_: str):
+    def load_und(split_: str, sfx: str = ""):
         """undirected adj with disk cache, like reference loader.py:71-95"""
-        adj = fmt.load_adj(prefix, dataset, "undirected", split_)
+        adj = fmt.load_adj(prefix, dataset, "undirected", split_, suffix=sfx)
         if adj is None:
-            raw = fmt.load_adj(prefix, dataset, "raw", split_)
-            assert raw is not None, f"missing adjacency for split {split_}"
+            raw = fmt.load_adj(prefix, dataset, "raw", split_, suffix=sfx)
+            assert raw is not None, \
+                f"missing adjacency for split {split_}{sfx}"
             adj = fmt.to_undirected_csr(*raw)
-            np.save(f"{d}/adj_{split_}_undirected.npy",
+            np.save(f"{d}/adj_{split_}_undirected{sfx}.npy",
                     {"indptr": adj[0], "indices": adj[1]}, allow_pickle=True)
         return adj
 
     if config_data.get("to_undirected", False):
-        indptr_full, indices_full = load_und("full")
+        indptr_full, indices_full = load_und("full", suffix)
         if config_data.get("transductive", False):
             indptr_train = indices_train = None
         else:
@@ -68,7 +77,8 @@ def load_data(prefix: str, dataset: str, config_data: Dict[str, Any],
             else:
                 indptr_train = indices_train = None
     else:
-        indptr_full, indices_full = fmt.load_adj(prefix, dataset, "raw", "full")
+        indptr_full, indices_full = fmt.load_adj(prefix, dataset, "raw",
+                                                 "full", suffix=suffix)
         if config_data.get("transductive", False):
             indptr_train = indices_train = None
         else:

@@ -103,6 +103,17 @@ def make_synthetic_dataset(
                 edge_set[m] = {"pos": pos, "neg": neg}
         node_set = None
         label = None
+        # collab-style: eval positives are held OUT of the message graph
+        # (ogbl-collab's adj_full holds train edges only)
+        held = np.concatenate([edge_set[VALID]["pos"], edge_set[TEST]["pos"]])
+        key_held = np.concatenate([held[:, 0] * num_nodes + held[:, 1],
+                                   held[:, 1] * num_nodes + held[:, 0]])
+        key_all = all_src.astype(np.int64) * num_nodes + indices
+        keep = ~np.isin(key_all, key_held)
+        indices = indices[keep]
+        indptr = np.concatenate([
+            [0], np.cumsum(np.bincount(all_src[keep],
+                                       minlength=num_nodes))]).astype(indptr.dtype)
     return RawGraph(
         indptr_full=indptr,
         indices_full=indices,

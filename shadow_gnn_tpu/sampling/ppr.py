@@ -184,20 +184,30 @@ def ppr_topk_tables(neighs: list, scores: list, k: int
 # binary cache, byte-compatible with the reference
 # ---------------------------------------------------------------------------
 
+def _trans_tag(is_transductive: bool, variant: str) -> str:
+    """'transductive'/'inductive' file tag; a non-empty ``variant``
+    (e.g. 'wval' for valedges_as_input) is appended so caches computed
+    over a different adjacency never collide with the vanilla ones."""
+    tag = "transductive" if is_transductive else "inductive"
+    return f"{tag}-{variant}" if variant else tag
+
+
 def ppr_cache_paths(dir_data: str, name_data: str, is_transductive: bool,
-                    mode_str: str, alpha: float, epsilon: float, k: int):
+                    mode_str: str, alpha: float, epsilon: float, k: int,
+                    variant: str = ""):
     """File naming contract of reference samplers_cpp.py:135-170."""
-    str_trans = "transductive" if is_transductive else "inductive"
+    str_trans = _trans_tag(is_transductive, variant)
     d = f"{dir_data}/{name_data}/ppr_float"
     suffix = f"{str_trans}_{mode_str}_{alpha}_{epsilon}"
     return (f"{d}/neighs_{suffix}_{k}.bin", f"{d}/scores_{suffix}_{k}.bin")
 
 
 def find_ppr_cache(dir_data: str, name_data: str, is_transductive: bool,
-                   mode_str: str, alpha: float, epsilon: float, k_required: int):
+                   mode_str: str, alpha: float, epsilon: float,
+                   k_required: int, variant: str = ""):
     """Accept any cached file with k_meta >= k_required (ref :156-166)."""
     import glob as _glob
-    str_trans = "transductive" if is_transductive else "inductive"
+    str_trans = _trans_tag(is_transductive, variant)
     d = f"{dir_data}/{name_data}/ppr_float"
     suffix = f"{str_trans}_{mode_str}_{alpha}_{epsilon}"
     for cn in sorted(_glob.glob(f"{d}/neighs_{suffix}_*")):

@@ -297,9 +297,12 @@ class Trainer:
         reference's cache naming + reuse-larger-k contract."""
         indptr, indices = self._host_adj[mode]
         mode_for_file = mode if self.task == "node" else mode
+        variant = ("wval" if self.config_data.get("valedges_as_input", False)
+                   else "")
         fn, fs = ppr_mod.find_ppr_cache(
             self.dir_data, self.name_data, self.is_transductive,
-            MODE2STR[mode_for_file], cfg.alpha, cfg.epsilon, k_tab)
+            MODE2STR[mode_for_file], cfg.alpha, cfg.epsilon, k_tab,
+            variant=variant)
         if fn:
             cached = ppr_mod.read_ppr_cache(fn, fs, k_tab, cfg.alpha,
                                             cfg.epsilon)
@@ -318,7 +321,8 @@ class Trainer:
         if self.dir_data:
             fn, fs = ppr_mod.ppr_cache_paths(
                 self.dir_data, self.name_data, self.is_transductive,
-                MODE2STR[mode_for_file], cfg.alpha, cfg.epsilon, k_tab)
+                MODE2STR[mode_for_file], cfg.alpha, cfg.epsilon, k_tab,
+                variant=variant)
             try:
                 ppr_mod.write_ppr_cache(fn, fs, self.num_nodes, targets,
                                         neighs, scores, k_tab, cfg.alpha,

@@ -122,6 +122,60 @@ def test_link_prediction(tmp_path):
     assert "hits20" in tr.logger.final_stats[TEST]
 
 
+def test_link_valedges_as_input(tmp_path):
+    """collab alternative setting: adj_full for sampling also contains
+    the validation edges (reference data_converter.py:357-373; the
+    reference loader never actually loads them — we implement the
+    intended semantics).  PPR caches must not collide across variants."""
+    import glob
+    g = make_synthetic_dataset(num_nodes=400, avg_deg=6, num_feat=8,
+                               num_classes=4, seed=5, task="link")
+    val_pos = g.edge_set[VALID]["pos"]
+    n = g.num_nodes
+    deg = np.diff(g.indptr_full)
+    src = np.repeat(np.arange(n), deg)
+    src_wv = np.concatenate([src, val_pos[:, 0], val_pos[:, 1]])
+    dst_wv = np.concatenate([g.indices_full.astype(np.int64),
+                             val_pos[:, 1], val_pos[:, 0]])
+    key = np.unique(src_wv.astype(np.int64) * n + dst_wv.astype(np.int64))
+    indptr_wv = np.zeros(n + 1, np.int64)
+    np.add.at(indptr_wv, key // n + 1, 1)
+    save_shadow_format(str(tmp_path / "data"), "toy", indptr=g.indptr_full,
+                       indices=g.indices_full, feat=g.feat_full, label=None,
+                       edge_set=g.edge_set,
+                       indptr_with_val=np.cumsum(indptr_wv).astype(np.int32),
+                       indices_with_val=(key % n).astype(np.int32))
+    raw_plain = load_data(str(tmp_path / "data"), "toy",
+                          {"to_undirected": False, "transductive": True,
+                           "valedges_as_input": False})
+    raw_wval = load_data(str(tmp_path / "data"), "toy",
+                         {"to_undirected": False, "transductive": True,
+                          "valedges_as_input": True})
+    assert raw_wval.indices_full.size > raw_plain.indices_full.size
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True,
+                 "valedges_as_input": True},
+        "architecture": {
+            "dim": 16, "aggr": "sage", "loss": "sigmoid", "num_layers": 2,
+            "act": "relu", "feature_augment": "drnls", "residue": "none",
+            "pooling": "center",
+        },
+        "hyperparameter": {"end": 2, "lr": 0.01, "dropout": 0.0,
+                           "batch_size": 16},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [8],
+                     "epsilon": [1e-5]}],
+    }
+    parsed = parse_config(cfg)
+    m = Metrics("toy", True, "hits20", 1)
+    tr = Trainer("toy", str(tmp_path / "data"), raw_wval, parsed, m,
+                 Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
+                 use_device_ppr=False)
+    tr.train()
+    assert "hits20" in tr.logger.final_stats[TEST]
+    caches = glob.glob(str(tmp_path / "data" / "toy" / "ppr_float" / "*"))
+    assert caches and all("-wval_" in os.path.basename(c) for c in caches)
+
+
 def test_multilabel_sigmoid_with_ppr_aug(tmp_path):
     """yelp-style: sigmoid multilabel + hops-pprs augment + sum pooling."""
     cfg = {**BASE_CONFIG,
