@@ -56,6 +56,10 @@ def build_argparser():
                    help="machine meta-config yml (reference CONFIG.yml "
                         "schema: data/logging dirs, per-dataset metric)")
     p.add_argument("--reload_model_dir", type=str, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (multi-host) from "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID or TPU-pod auto-detection")
     return p
 
 
@@ -65,6 +69,9 @@ def main(argv=None):
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        from shadow_gnn_tpu.parallel.multihost import initialize
+        initialize()        # must run before the first backend use
     import numpy as np
     from shadow_gnn_tpu import TRAIN, VALID, TEST
     from shadow_gnn_tpu.data.loader import load_data

@@ -98,3 +98,33 @@ def test_sharded_feature_train_step(tmp_path):
         losses.append(float(loss))
     assert np.isfinite(losses).all() if hasattr(np, "isfinite") else True
     assert losses[-1] < losses[0], losses   # loss should drop
+
+
+def test_multihost_glue_single_process(tmp_path):
+    """initialize() no-ops without config; global mesh + per-process
+    batch construction feed the DP step (single-process degenerate
+    case of the multi-host path)."""
+    from shadow_gnn_tpu.parallel import multihost as mh
+    assert mh.initialize() is False          # no coords -> no-op
+    mesh = mh.global_dp_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    # process_slice covers the whole epoch in a 1-process job
+    sl = mh.process_slice(100)
+    assert (sl.start, sl.stop) == (0, 100)
+    # per-process batch: globally sharded over dp, round-trips
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    gx = mh.process_local_batch(mesh, x)
+    assert gx.sharding.spec == jax.sharding.PartitionSpec("dp", None)
+    np.testing.assert_array_equal(np.asarray(gx), x)
+    # feeds the dp train step end-to-end
+    from shadow_gnn_tpu.parallel.dp import make_dp_train_step
+    from shadow_gnn_tpu import TRAIN as _TR
+    tr = _tiny_trainer(tmp_path, batch_size=16)
+    tr._ensure_tables(_TR)
+    nb, roots, rows, labels, w, _, _ = tr._epoch_arrays(_TR)
+    step, _shard, replicate = make_dp_train_step(tr, _TR, 8)
+    xs = tuple(mh.process_local_batch(mesh, np.asarray(a[0]))
+               for a in (roots, rows, labels, w))
+    p2, o2, loss = step(replicate(tr.params), replicate(tr.opt_state),
+                        jax.random.PRNGKey(0), *xs)
+    assert np.isfinite(float(loss))

@@ -122,6 +122,37 @@ def test_link_prediction(tmp_path):
     assert "hits20" in tr.logger.final_stats[TEST]
 
 
+def test_ppa_style_link_hits100(tmp_path):
+    """ogbl-ppa semantics: one-hot (species) node features, hits@100
+    metric, no valedges variant (data_converter.py:389-416)."""
+    g = make_synthetic_dataset(num_nodes=500, avg_deg=6, num_feat=8,
+                               num_classes=4, seed=11, task="link")
+    rng = np.random.default_rng(0)
+    onehot = np.eye(16, dtype=np.float32)[rng.integers(0, 16, g.num_nodes)]
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {
+            "dim": 16, "aggr": "sage", "loss": "sigmoid", "num_layers": 2,
+            "act": "relu", "feature_augment": "drnls", "residue": "none",
+            "pooling": "center",
+        },
+        "hyperparameter": {"end": 2, "lr": 0.01, "dropout": 0.0,
+                           "batch_size": 16},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [8],
+                     "epsilon": [1e-5]}],
+    }
+    import dataclasses
+    g = dataclasses.replace(g, feat_full=onehot)
+    parsed = parse_config(cfg)
+    m = Metrics("toy", True, "hits100", 1)
+    tr = Trainer("toy", str(tmp_path), g, parsed, m,
+                 Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
+                 use_device_ppr=False)
+    tr.train()
+    stats = tr.logger.final_stats[TEST]
+    assert "hits100" in stats and 0.0 <= stats["hits100"] <= 1.0
+
+
 def test_link_valedges_as_input(tmp_path):
     """collab alternative setting: adj_full for sampling also contains
     the validation edges (reference data_converter.py:357-373; the
