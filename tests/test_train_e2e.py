@@ -122,6 +122,31 @@ def test_link_prediction(tmp_path):
     assert "hits20" in tr.logger.final_stats[TEST]
 
 
+def test_prng_rbg_trains(tmp_path):
+    """--prng rbg (counter-based PRNG for dropout/dropedge masks; the
+    flagship TPU perf setting) trains and is seed-deterministic."""
+    import jax
+    prev = jax.config.jax_default_prng_impl
+    try:
+        g = make_synthetic_dataset(num_nodes=400, avg_deg=6, num_feat=8,
+                                   num_classes=4, seed=3)
+        cfg = {**BASE_CONFIG,
+               "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+        parsed = parse_config(cfg)
+        finals = []
+        for rep in range(2):
+            m = Metrics("toy", False, "accuracy", 1)
+            tr = Trainer("toy", str(tmp_path), g, parsed, m,
+                         Logger(m, str(tmp_path / f"log{rep}"), no_log=True),
+                         seed=7, use_device_ppr=False, prng_impl="rbg")
+            tr.train()
+            finals.append(tr.logger.final_stats[TEST]["accuracy"])
+        assert finals[0] == finals[1]       # same seed, same result
+        assert finals[0] > 0.3
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)
+
+
 def test_ppa_style_link_hits100(tmp_path):
     """ogbl-ppa semantics: one-hot (species) node features, hits@100
     metric, no valedges variant (data_converter.py:389-416)."""
