@@ -134,9 +134,13 @@ class DeepGNN(nn.Module):
                 else:
                     seed = jnp.int32(0)
                 bits = batch.adj_bits
+                # match XLA's precision trade: bf16 MXU passes when the
+                # session runs --matmul_precision bfloat16
+                bf16 = (jax.config.jax_default_matmul_precision
+                        in ("bfloat16", "tensorfloat32"))
 
-                def agg(x, bits=bits, seed=seed):
-                    return packed_spmm(bits, x, seed, norm, de)
+                def agg(x, bits=bits, seed=seed, bf16=bf16):
+                    return packed_spmm(bits, x, seed, norm, de, bf16)
 
                 adj_norm, adj_struct = agg, None
             else:

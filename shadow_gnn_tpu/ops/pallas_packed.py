@@ -81,12 +81,17 @@ def _norm_adj(adj, norm: str, dropedge: float, seed, b_idx):
 
 
 def _kernel(seed_ref, bits_ref, x_ref, out_ref, *, n, norm, dropedge,
-            transpose):
+            transpose, bf16):
     b_idx = pl.program_id(0)
     bits = bits_ref[0].astype(jnp.int32)
     adj = _unpack_block(bits, n)
     adj = _norm_adj(adj, norm, dropedge, seed_ref[0], b_idx)
     x = x_ref[0]
+    if bf16:
+        # single-pass bf16 MXU dot (the same trade as XLA's DEFAULT
+        # precision for f32 matmuls); f32 accumulate
+        adj = adj.astype(jnp.bfloat16)
+        x = x.astype(jnp.bfloat16)
     if transpose:
         out = jax.lax.dot_general(adj, x, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -95,7 +100,7 @@ def _kernel(seed_ref, bits_ref, x_ref, out_ref, *, n, norm, dropedge,
     out_ref[0] = out
 
 
-def _call(bits, x, n, norm, dropedge, seed, transpose):
+def _call(bits, x, n, norm, dropedge, seed, transpose, bf16=False):
     """seed is a traced int32 scalar array."""
     b, _, nbytes = bits.shape
     f = x.shape[-1]
@@ -112,7 +117,7 @@ def _call(bits, x, n, norm, dropedge, seed, transpose):
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_kernel, n=n, norm=norm, dropedge=dropedge,
-                               transpose=transpose)
+                               transpose=transpose, bf16=bf16)
     seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
     return pl.pallas_call(
         kernel,
@@ -126,26 +131,28 @@ def _call(bits, x, n, norm, dropedge, seed, transpose):
     )(seed_arr, bits, x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def packed_spmm(bits: jax.Array, x: jax.Array, seed=0,
-                norm: str = "none", dropedge: float = 0.0) -> jax.Array:
+                norm: str = "none", dropedge: float = 0.0,
+                bf16: bool = False) -> jax.Array:
     """out[b] = norm(unpack(bits[b])) @ x[b].
 
     bits [B, N, ceil(N/8)] uint8, x [B, N, F] f32, seed int32 scalar
     (traced; the same dropedge mask is regenerated in the backward
-    pass) -> [B, N, F] f32.  Differentiable in x.
+    pass) -> [B, N, F] f32.  Differentiable in x.  bf16=True runs the
+    MXU dot in single-pass bf16 with f32 accumulate.
     """
     assert norm in _NORMS
-    return _call(bits, x, x.shape[1], norm, dropedge, seed, False)
+    return _call(bits, x, x.shape[1], norm, dropedge, seed, False, bf16)
 
 
-def _fwd(bits, x, seed, norm, dropedge):
-    return packed_spmm(bits, x, seed, norm, dropedge), (bits, seed)
+def _fwd(bits, x, seed, norm, dropedge, bf16):
+    return packed_spmm(bits, x, seed, norm, dropedge, bf16), (bits, seed)
 
 
-def _bwd(norm, dropedge, res, g):
+def _bwd(norm, dropedge, bf16, res, g):
     bits, seed = res
-    dx = _call(bits, g, g.shape[1], norm, dropedge, seed, True)
+    dx = _call(bits, g, g.shape[1], norm, dropedge, seed, True, bf16)
     return None, dx, None
 
 

@@ -37,6 +37,23 @@ def test_packed_spmm_matches_reference(norm):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_packed_spmm_bf16_close():
+    """bf16 MXU variant: same result up to bf16 rounding."""
+    rng = np.random.default_rng(4)
+    bits, x, adj = _rand_case(rng)
+    got = pp.packed_spmm(bits, x, 0, "rw", 0.0, True)
+    want = pp.packed_spmm_reference(bits, x, "rw")
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    g1 = jax.grad(lambda x: (pp.packed_spmm(bits, x, 0, "rw", 0.0, True)
+                             ** 2).sum())(x)
+    g2 = jax.grad(lambda x: (pp.packed_spmm_reference(bits, x, "rw")
+                             ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-2,
+                               atol=5e-2)
+
+
 def test_packed_spmm_grad():
     rng = np.random.default_rng(1)
     bits, x, adj = _rand_case(rng)
