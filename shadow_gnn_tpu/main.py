@@ -60,6 +60,9 @@ def build_argparser():
                    help="machine meta-config yml (reference CONFIG.yml "
                         "schema: data/logging dirs, per-dataset metric)")
     p.add_argument("--reload_model_dir", type=str, default=None)
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler device trace of one "
+                        "train epoch into this dir (TensorBoard-viewable)")
     p.add_argument("--distributed", action="store_true",
                    help="initialize jax.distributed (multi-host) from "
                         "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
@@ -156,6 +159,7 @@ def main(argv=None):
                       packed_adj=args.packed_adj,
                       compute_dtype=args.compute_dtype,
                       prng_impl=args.prng)
+    trainer.trace_dir = args.trace_dir
     print(f"TOTAL NUM OF PARAMS = "
           f"{sum(x.size for x in __import__('jax').tree_util.tree_leaves(trainer.params))}")
     if args.nocache:

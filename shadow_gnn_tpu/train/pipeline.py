@@ -196,6 +196,10 @@ class Trainer:
             self.params, self.opt_state = Logger.load_checkpoint(
                 self.params, self.opt_state, pm[-1], po[-1] if po else None)
         self._epoch_fns: Dict[Tuple, Any] = {}
+        # --trace_dir: jax.profiler device trace of train epoch 1 (the
+        # first post-compile epoch) — the TPU-native replacement for the
+        # reference's absent timeline tracer (SURVEY §5.1)
+        self.trace_dir: Optional[str] = None
         from shadow_gnn_tpu.train.profiler import SubgraphProfiler
         self.profiler = SubgraphProfiler(self.num_ensemble)
         if matmul_precision:
@@ -608,6 +612,9 @@ class Trainer:
         fn = self._epoch_fns[key]
         rng = jax.random.PRNGKey(self.rng_np.integers(1 << 31))
         arrays = self._mode_arrays(mode)
+        do_trace = (self.trace_dir is not None and train and epoch == 1)
+        if do_trace:
+            jax.profiler.start_trace(self.trace_dir)
         t0 = time.time()
         if train:
             self.params, self.opt_state, losses, preds, ovf = fn(
@@ -616,6 +623,11 @@ class Trainer:
         else:
             losses, preds, ovf = fn(self.params, rng, roots, rows, labels_dev,
                                     w_dev, arrays)
+        if do_trace:
+            jax.block_until_ready(losses)
+            jax.profiler.stop_trace()
+            print(f"[trace] device trace of train epoch 1 written to "
+                  f"{self.trace_dir}")
         if int(ovf) > 0:
             print(f"[WARN] induction candidate overflow: {int(ovf)} edges "
                   f"dropped this epoch (raise cand_cap)")
