@@ -135,6 +135,19 @@ def main():
     t_epoch = min(times)
     subg_per_s = num_subg / t_epoch
 
+    # effective aggregation edges/s (the BASELINE.json edges/s/chip
+    # metric): nnz summed over a sample of cached batches, x num_layers
+    # fwd passes per step (bwd re-aggregates via the transposed block)
+    from shadow_gnn_tpu.sampling.cache import gather_batch
+    nnz_batches = []
+    for ib in range(4):
+        bt = gather_batch(arrays2.caches[0], rows[ib][:, 0],
+                          tr.branches[0]["cfg"][TRAIN].n_pad, tr.num_nodes)
+        nnz_batches.append(float(jnp.sum(bt.adj > 0)))
+    edges_per_batch = float(np.mean(nnz_batches))
+    num_layers = 3
+    edges_per_s = edges_per_batch * nb * num_layers / t_epoch
+
     # baseline: host reference-equivalent sampling of 64 roots, scaled
     tab = np.asarray(tr.tables[TRAIN][0].neighs[:64])
     t_host = time_host_reference_sampler(
@@ -157,6 +170,7 @@ def main():
             "first_epoch_incl_compile_s": round(t_compile_first, 1),
             "init_incl_ppr_s": round(t_init, 1),
             "subgraphs_per_epoch": num_subg,
+            "agg_edges_per_s_fwd": round(edges_per_s, 0),
             "host_reference_subg_per_s_20thr": round(host_subg_per_s, 1),
         },
     }))
