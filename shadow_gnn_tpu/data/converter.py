@@ -172,3 +172,21 @@ def convert2shadow(name_data: str, prefix: str,
     if DATA_ZOO[name_data]["ALL"].prediction_task == "node":
         return convert_ogb_node(prefix, name_data)
     return convert_ogb_link(prefix, name_data)
+
+
+def _main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(
+        description="Convert OGB / GraphSAINT datasets to shaDow format")
+    p.add_argument("--dataset", required=True, choices=sorted(DATA_ZOO))
+    p.add_argument("--prefix", required=True,
+                   help="data dir; output goes to <prefix>/<dataset>/")
+    p.add_argument("--saint_dir", default=None,
+                   help="GraphSAINT distribution dir (flickr/reddit/yelp)")
+    a = p.parse_args(argv)
+    out = convert2shadow(a.dataset, a.prefix, saint_dir=a.saint_dir)
+    print(f"converted {a.dataset} -> {out}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -29,6 +29,14 @@ def standard_scale(feats: np.ndarray, fit_idx) -> np.ndarray:
 def load_data(prefix: str, dataset: str, config_data: Dict[str, Any],
               printf=print) -> RawGraph:
     d = f"{prefix}/{dataset}"
+    if not os.path.isfile(f"{d}/split.npy"):
+        # first-run auto-conversion for known datasets (reference
+        # loader.py:42-43); needs the ogb package + network for OGB
+        # sets, or a local GraphSAINT distribution
+        from shadow_gnn_tpu.data.converter import DATA_ZOO, convert2shadow
+        if dataset in DATA_ZOO:
+            printf(f"{d} missing — converting {dataset} to shaDow format")
+            convert2shadow(dataset, prefix)
     role = np.load(f"{d}/split.npy", allow_pickle=True)
     if isinstance(role, np.ndarray):
         role = role[()]

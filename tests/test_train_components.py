@@ -144,6 +144,21 @@ def test_saint_converter_roundtrip(tmp_path):
     assert raw.node_set[TRAIN].size == 30
 
 
+def test_loader_autoconvert_dispatch(tmp_path):
+    """Missing dataset dir: known datasets route to the converter
+    (reference loader.py:42-43); unknown names fail with the plain
+    missing-file error.  SAINT sets can't auto-convert without the
+    distribution dir — the converter says so."""
+    import pytest
+    from shadow_gnn_tpu.data.loader import load_data
+    with pytest.raises(AssertionError, match="GraphSAINT distribution"):
+        load_data(str(tmp_path), "flickr",
+                  {"to_undirected": False, "transductive": True})
+    with pytest.raises(FileNotFoundError):
+        load_data(str(tmp_path), "not_a_dataset",
+                  {"to_undirected": False, "transductive": True})
+
+
 def test_all_reference_configs_parse():
     """Every shipped reference training yml parses + decouples."""
     import glob
