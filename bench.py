@@ -139,11 +139,14 @@ def main():
     # metric): nnz summed over a sample of cached batches, x num_layers
     # fwd passes per step (bwd re-aggregates via the transposed block)
     from shadow_gnn_tpu.sampling.cache import gather_batch
-    nnz_batches = []
-    for ib in range(4):
-        bt = gather_batch(arrays2.caches[0], rows[ib][:, 0],
-                          tr.branches[0]["cfg"][TRAIN].n_pad, tr.num_nodes)
-        nnz_batches.append(float(jnp.sum(bt.adj > 0)))
+    nnz_batches = [0.0]
+    if arrays2.caches[0] is not None:
+        nnz_batches = []
+        for ib in range(4):
+            bt = gather_batch(arrays2.caches[0], rows[ib][:, 0],
+                              tr.branches[0]["cfg"][TRAIN].n_pad,
+                              tr.num_nodes)
+            nnz_batches.append(float(jnp.sum(bt.adj > 0)))
     edges_per_batch = float(np.mean(nnz_batches))
     num_layers = 3
     edges_per_s = edges_per_batch * nb * num_layers / t_epoch
