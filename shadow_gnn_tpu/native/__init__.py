@@ -26,13 +26,52 @@ def _build():
     subprocess.run(cmd, check=True, capture_output=True)
 
 
+# Self-test script run in a THROWAWAY subprocess before loading the .so
+# in-process: a stale binary built with -march=native on another machine
+# would raise SIGILL on first call, which is uncatchable in-process.  The
+# subprocess exercises an actual push call so illegal instructions surface
+# as a non-zero exit status instead of killing the caller.
+_SELFTEST = """
+import ctypes, numpy as np, sys
+lib = ctypes.CDLL(sys.argv[1])
+lib.shadow_ppr_push.restype = ctypes.c_int
+indptr = np.array([0, 1, 2], np.int64)
+indices = np.array([1, 0], np.int32)
+targets = np.array([0], np.int64)
+out_n = np.empty((1, 2), np.int32)
+out_s = np.empty((1, 2), np.float32)
+rc = lib.shadow_ppr_push(
+    indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    ctypes.c_int64(2),
+    indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    ctypes.c_int64(2),
+    targets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    ctypes.c_int64(1),
+    ctypes.c_int(2), ctypes.c_float(0.85), ctypes.c_float(1e-4),
+    ctypes.c_int(1),
+    out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+sys.exit(0 if rc == 0 else 1)
+"""
+
+
+def _selftest_ok() -> bool:
+    import sys
+    r = subprocess.run([sys.executable, "-c", _SELFTEST, _SO],
+                       capture_output=True)
+    return r.returncode == 0
+
+
 def get_lib():
     global _lib
     if _lib is not None:
         return _lib
     if (not os.path.isfile(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            or not _selftest_ok()):
         _build()
+        if not _selftest_ok():
+            raise OSError("native self-test failed after rebuild")
     lib = ctypes.CDLL(_SO)
     lib.shadow_ppr_push.restype = ctypes.c_int
     lib.shadow_ppr_push.argtypes = [

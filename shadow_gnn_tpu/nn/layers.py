@@ -227,7 +227,10 @@ class GATConv(_ConvBase):
         s_masked = jnp.where(struct, s, -jnp.inf)
         row_max = jnp.max(s_masked, axis=2, keepdims=True)      # [b,i,1,h]
         row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-        e = jnp.exp(s - row_max) * adj_norm[..., None]          # dropedge via values
+        # exponentiate the MASKED scores: exp(-inf)=0 keeps non-edges
+        # exactly zero even when an off-edge score exceeds row_max
+        # (unmasked exp could overflow to inf and yield inf*0 = NaN)
+        e = jnp.exp(s_masked - row_max) * adj_norm[..., None]   # dropedge via values
         denom = jnp.clip(e.sum(2), 1e-10, None)                 # [b,i,h]
         aggr = jnp.einsum("bijh,bjhd->bihd", e, h_neigh) / denom[..., None]
         scale, offset = self._norm_params((2, h, dh))
@@ -273,7 +276,7 @@ class GATScatterConv(_ConvBase):
         s_masked = jnp.where(struct, s, -jnp.inf)
         row_max = jnp.max(s_masked, axis=2, keepdims=True)
         row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-        e = jnp.exp(s - row_max) * adj_norm[..., None]
+        e = jnp.exp(s_masked - row_max) * adj_norm[..., None]
         denom = jnp.clip(e.sum(2), 1e-10, None)
         aggr = jnp.einsum("bijh,bjhd->bihd", e, feat_src) / denom[..., None]
         feat_self = x @ w_dst + b_dst

@@ -54,17 +54,23 @@ def _dedup_with_scores(ids: jax.Array, scores: jax.Array, sentinel: int,
     dup = ids2 == prev
     ids3 = jnp.where(dup, sentinel, ids2)
     sc3 = jnp.where(dup, 0.0, sc2)
+    m = ids.shape[-1]
+    if m > n_pad:
+        # score-aware truncation: when more than n_pad unique ids survive,
+        # keep the highest-score entries (targets carry score<0 = always
+        # keep; sentinels rank last) instead of the lowest node ids
+        pri = jnp.where(ids3 == sentinel, -jnp.inf,
+                        jnp.where(sc3 < 0, jnp.inf, sc3))
+        ot = jnp.argsort(-pri, axis=-1, stable=True)
+        ids3 = jnp.take_along_axis(ids3, ot, axis=-1)[..., :n_pad]
+        sc3 = jnp.take_along_axis(sc3, ot, axis=-1)[..., :n_pad]
     o4 = jnp.argsort(ids3, axis=-1, stable=True)
     ids4 = jnp.take_along_axis(ids3, o4, axis=-1)
     sc4 = jnp.take_along_axis(sc3, o4, axis=-1)
-    m = ids.shape[-1]
     if m < n_pad:
         pad = [(0, 0)] * (ids.ndim - 1) + [(0, n_pad - m)]
         ids4 = jnp.pad(ids4, pad, constant_values=sentinel)
         sc4 = jnp.pad(sc4, pad)
-    else:
-        ids4 = ids4[..., :n_pad]
-        sc4 = sc4[..., :n_pad]
     return ids4, sc4
 
 
@@ -83,7 +89,8 @@ def _ppr_keep_mask(scores: jax.Array, avail: jax.Array, threshold: float,
     cap = avail if k_rule is None else jnp.minimum(avail, k_rule)
     in_range = idx[None, :] < cap[:, None]
     if k >= 2:
-        max_ppr = jnp.where(avail > 1, scores[:, 1], 0.0)
+        # size_neigh = min(k, avail) gates the max_ppr read (cpp:577-581)
+        max_ppr = jnp.where(cap > 1, scores[:, 1], 0.0)
     else:
         max_ppr = jnp.zeros(scores.shape[:-1], scores.dtype)
     pass_thresh = (max_ppr[:, None] > 0) & (
@@ -101,10 +108,15 @@ def sample_nodes_ppr(cfg: SamplerConfig, graph: DeviceGraph,
     table_rows  [B, T] row index of each target in ``tables``
     """
     b, t = roots.shape
-    neighs = tables.neighs[table_rows.reshape(-1)]           # [B*T, k]
+    neighs = tables.neighs[table_rows.reshape(-1)]           # [B*T, >=k]
     scores = tables.scores[table_rows.reshape(-1)]
     avail = (neighs >= 0).sum(-1)
-    keep = _ppr_keep_mask(scores, avail, cfg.threshold)
+    # k_rule caps the deterministic scope at top-k even when the table is
+    # wider (ppr_st branches carry 2k pools and VALID/TEST falls back to
+    # this sampler; the reference reads min(k, table size) rows,
+    # cpp:575-586 with the eval sampler built at the original k,
+    # minibatch.py:366-370)
+    keep = _ppr_keep_mask(scores, avail, cfg.threshold, k_rule=cfg.k)
     sent = graph.num_nodes
     ids = jnp.where(keep, neighs, sent).reshape(b, -1)
     sc = jnp.where(keep, scores, 0.0).reshape(b, -1)
@@ -132,8 +144,11 @@ def sample_nodes_ppr_st(cfg: SamplerConfig, graph: DeviceGraph,
     neighs = tables.neighs[table_rows.reshape(-1)]           # [B*T, 2k pool]
     scores = tables.scores[table_rows.reshape(-1)]
     avail = (neighs >= 0).sum(-1)
-    # sample_size counts over min(k, avail); the race runs over the pool
-    n_keep = _ppr_keep_mask(scores, avail, cfg.threshold, cfg.k).sum(-1)
+    # sample_size counts over min(k, avail); the counting loop increments
+    # BEFORE the threshold break (cpp:617-623), so the first failing entry
+    # is still counted — hence +1 clamped back to min(k, avail)
+    n_pass = _ppr_keep_mask(scores, avail, cfg.threshold, cfg.k).sum(-1)
+    n_keep = jnp.minimum(n_pass + 1, jnp.minimum(avail, cfg.k))
     u = jax.random.uniform(rng, scores.shape, minval=1e-12, maxval=1.0)
     key = jnp.where(scores > 0, jnp.log(u) / jnp.maximum(scores, 1e-30),
                     -jnp.inf)

@@ -395,9 +395,13 @@ class Trainer:
             cfg = br["cfg"][mode]
             rng, sub = jax.random.split(rng)
             if arrays.caches[i] is not None:
+                # must mirror the model's packed-path decision
+                # (model.py:125-127): a bf16 compute dtype takes the dense
+                # prepare_adj path, which needs the unpacked adjacency
                 packed = (self.model_cfg.packed_adj
                           and cfg.method in ("ppr",)
-                          and self.model_cfg.aggr in ("gcn", "sage", "gin"))
+                          and self.model_cfg.aggr in ("gcn", "sage", "gin")
+                          and self.model_cfg.compute_dtype == "float32")
                 batch = gather_batch(arrays.caches[i], rows[:, 0],
                                      cfg.n_pad, self.num_nodes,
                                      unpack=not packed)

@@ -119,3 +119,17 @@ def ppr_scope(neighs_row, scores_row, target, k, threshold):
             break
         touched[int(neighs_row[i])] = float(scores_row[i])
     return touched
+
+
+def ppr_st_sample_size(neighs_row, scores_row, k, threshold):
+    """sample_size counting loop of the stochastic sampler (cpp:612-626):
+    cnt_target increments BEFORE the threshold break, so the first
+    failing entry is still counted."""
+    size_neigh = min(k, len(neighs_row))
+    max_ppr = float(scores_row[1]) if size_neigh > 1 else 0.0
+    cnt = 0
+    for i in range(size_neigh):
+        cnt += 1
+        if max_ppr == 0 or scores_row[i] / max_ppr < threshold:
+            break
+    return cnt

@@ -229,3 +229,65 @@ def test_candidate_induction_matches_search():
     # capped run must count dropped candidates
     _, ovf2 = membership_matrix_cand(g, nj, cand_cap=8)
     assert int(ovf2) > 0
+
+
+def test_ppr_eval_scope_from_wide_pool(small_graph, dev_graph):
+    """Regression (round-1 VERDICT Weak #1): ppr_st branches carry 2k-wide
+    pool tables and VALID/TEST falls back to the deterministic ppr sampler,
+    which must truncate the read to top-k (cpp:575 size_neigh=min(k, size))
+    even though n_pad is sized k+1 — previously the whole pool was kept
+    and _dedup_with_scores id-truncated, corrupting eval scopes."""
+    indptr, indices = small_graph
+    k = 8
+    k_tab = 2 * k
+    targets = np.array([3, 50, 200])
+    neighs, scores = ppr_mod.ppr_push_host(indptr, indices, targets, k_tab,
+                                           alpha=0.85, epsilon=1e-7,
+                                           use_native=False)
+    tab_n, tab_s = ppr_mod.ppr_topk_tables(neighs, scores, k_tab)
+    tables = PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s))
+    # n_pad sized for k+2 targets' worth, NOT the pool width
+    cfg = SamplerConfig(method="ppr", n_pad=k + 2, k=k, threshold=0.0)
+    roots = jnp.asarray(targets[:, None].astype(np.int32))
+    rows = jnp.arange(len(targets))[:, None]
+    nodes, vals = sample_nodes_ppr(cfg, dev_graph, roots, rows, tables)
+    nodes = np.asarray(nodes)
+    vals = np.asarray(vals)
+    for i, t in enumerate(targets):
+        touched = oracle.ppr_scope(neighs[i], scores[i], t, k, 0.0)
+        got = set(nodes[i][nodes[i] < 300].tolist())
+        assert got == set(touched.keys()), (i, got, touched)
+        for j, nd in enumerate(nodes[i]):
+            if nd < 300 and touched[int(nd)] > 0:
+                assert abs(vals[i][j] - touched[int(nd)]) < 1e-6
+
+
+def test_ppr_st_sample_size_counting(small_graph, dev_graph):
+    """ppr_st sample_size counts the first threshold-failing entry too
+    (cpp:617-623 increments cnt_target before the break)."""
+    indptr, indices = small_graph
+    k = 8
+    k_tab = 2 * k
+    targets = np.array([3, 50, 200, 250])
+    neighs, scores = ppr_mod.ppr_push_host(indptr, indices, targets, k_tab,
+                                           alpha=0.85, epsilon=1e-7,
+                                           use_native=False)
+    tab_n, tab_s = ppr_mod.ppr_topk_tables(neighs, scores, k_tab)
+    tables = PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s))
+    threshold = 0.3
+    cfg = SamplerConfig(method="ppr_st", n_pad=k + 2, k=k,
+                        threshold=threshold)
+    roots = jnp.asarray(targets[:, None].astype(np.int32))
+    rows = jnp.arange(len(targets))[:, None]
+    from shadow_gnn_tpu.sampling.samplers import sample_nodes_ppr_st
+    for seed in range(3):
+        nodes, _ = sample_nodes_ppr_st(cfg, dev_graph, roots, rows, tables,
+                                       jax.random.PRNGKey(seed))
+        nodes = np.asarray(nodes)
+        for i, t in enumerate(targets):
+            ss = oracle.ppr_st_sample_size(neighs[i], scores[i], k, threshold)
+            got = set(nodes[i][nodes[i] < 300].tolist())
+            # ss entries drawn from the pool + the force-included target,
+            # which dedups away iff the target's own entry was drawn
+            assert len(got) in (ss, ss + 1), (i, seed, len(got), ss)
+            assert int(t) in got
