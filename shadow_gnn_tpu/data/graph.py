@@ -153,3 +153,36 @@ def csr_to_dense(indptr: np.ndarray, indices: np.ndarray, n: Optional[int] = Non
     for v in range(indptr.size - 1):
         out[v, indices[indptr[v]:indptr[v + 1]]] = 1.0
     return out
+
+
+def is_undirected(indptr: np.ndarray, indices: np.ndarray,
+                  max_exact_edges: int = 20_000_000, sample: int = 20_000,
+                  seed: int = 0) -> bool:
+    """True iff every edge (u, v) has a reverse (v, u).
+
+    Exact (scipy transpose compare) up to ``max_exact_edges``; beyond
+    that a reverse-membership check over ``sample`` random edges (a
+    false positive would need an almost-symmetric directed graph, which
+    none of the supported datasets are).  Gates the hub-safe induction
+    strategy (sampling/induction.py:membership_matrix_hub), whose
+    symmetrization step is only valid on undirected graphs.
+    """
+    m = int(indices.size)
+    if m == 0:
+        return True
+    if m <= max_exact_edges:
+        import scipy.sparse as sp
+        n = indptr.size - 1
+        a = sp.csr_matrix((np.ones(m, np.int8), indices, indptr),
+                          shape=(n, n))
+        return (a != a.T).nnz == 0
+    rng = np.random.default_rng(seed)
+    eids = np.sort(rng.choice(m, size=min(sample, m), replace=False))
+    src = np.searchsorted(indptr, eids, side="right") - 1
+    dst = indices[eids]
+    for s, d in zip(src, dst):
+        sl = indices[indptr[d]:indptr[d + 1]]
+        p = np.searchsorted(sl, s)
+        if p >= sl.size or sl[p] != s:
+            return False
+    return True

@@ -124,3 +124,88 @@ def make_synthetic_dataset(
         node_set=node_set,
         edge_set=edge_set,
     )
+
+
+def make_planted_dataset(
+    num_nodes: int = 20000,
+    num_classes: int = 8,
+    avg_deg: float = 15.0,
+    p_in: float = 0.4,
+    num_feat: int = 64,
+    snr: float = 0.6,
+    seed: int = 0,
+    power_law: bool = False,
+):
+    """Planted-partition (SBM) node classification with WEAK features.
+
+    The community is the label.  Node features carry only ``snr`` of
+    community signal against unit noise, so a feature-only model (MLP /
+    nearest-center) is capped well below 1.0, while edges are
+    intra-community with probability ``p_in`` — recovering the label
+    needs neighborhood aggregation.  This is the convergence benchmark
+    the round-1 "trivially separable" synthetic task was not
+    (VERDICT.md missing #1 fallback): the GNN-vs-MLP gap is the planted,
+    measurable quantity.
+
+    Returns (RawGraph, feature_only_bayes_acc) where the second element
+    is the nearest-center accuracy an adjacency-free model cannot
+    meaningfully exceed.
+    """
+    rng = np.random.default_rng(seed + 17)
+    comm = rng.integers(0, num_classes, size=num_nodes)
+    order = np.argsort(comm, kind="stable")
+    counts = np.bincount(comm, minlength=num_classes)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    n_edges = int(num_nodes * avg_deg / 2)
+    if power_law:
+        wz = 1.0 / (np.arange(1, num_nodes + 1) ** 0.75)
+        wz /= wz.sum()
+        u = rng.choice(num_nodes, size=n_edges, p=wz)
+    else:
+        u = rng.integers(0, num_nodes, size=n_edges)
+    same = rng.random(n_edges) < p_in
+    # intra-community partner: uniform member of comm[u]
+    cu = comm[u]
+    within = offsets[cu] + rng.integers(0, np.maximum(counts[cu], 1))
+    v_same = order[np.minimum(within, num_nodes - 1)]
+    v_rand = rng.integers(0, num_nodes, size=n_edges)
+    v = np.where(same, v_same, v_rand)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    row = np.concatenate([u, v]).astype(np.int64)
+    col = np.concatenate([v, u]).astype(np.int64)
+    key = np.unique(row * num_nodes + col)
+    row_u = (key // num_nodes).astype(np.int32)
+    col_u = (key % num_nodes).astype(np.int32)
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.add.at(indptr, row_u + 1, 1)
+    indptr = np.cumsum(indptr).astype(
+        np.int32 if key.size < 2**31 else np.int64)
+
+    centers = rng.normal(size=(num_classes, num_feat)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    feat = (snr * centers[comm]
+            + rng.normal(size=(num_nodes, num_feat)).astype(np.float32))
+    # feature-only ceiling: accuracy of the (oracle) nearest-center rule
+    scores = feat @ centers.T          # equal-norm centers -> max dot
+    feat_only_acc = float((scores.argmax(1) == comm).mean())
+
+    perm = rng.permutation(num_nodes)
+    n_tr, n_va = int(0.6 * num_nodes), int(0.2 * num_nodes)
+    node_set = {
+        TRAIN: np.sort(perm[:n_tr]).astype(np.int64),
+        VALID: np.sort(perm[n_tr:n_tr + n_va]).astype(np.int64),
+        TEST: np.sort(perm[n_tr + n_va:]).astype(np.int64),
+    }
+    raw = RawGraph(
+        indptr_full=indptr,
+        indices_full=col_u,
+        indptr_train=None,
+        indices_train=None,
+        feat_full=feat,
+        label_full=comm.astype(np.int64),
+        node_set=node_set,
+        edge_set=None,
+    )
+    return raw, feat_only_acc

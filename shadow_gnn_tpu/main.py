@@ -39,6 +39,9 @@ def build_argparser():
     p.add_argument("--inference_budget", type=int, default=0)
     p.add_argument("--nocache", type=str, default=None)
     p.add_argument("--log_test_convergence", type=int, default=-1)
+    p.add_argument("--eval_train_every", type=int, default=1,
+                   help="compute train metrics from every Nth batch only "
+                        "(reference PERIOD_LOG subsampling)")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (cpu for debugging)")
     p.add_argument("--device_ppr", type=str, default="auto",
@@ -131,6 +134,15 @@ def main(argv=None):
         base = os.path.basename(str(args.configs or ""))
         if base in ignores:
             args.no_log = True
+        # pluggable logger class (reference CONFIG.yml logging.logger.name,
+        # dynamically imported at globals.py:29-34); accepts
+        # "module.path:ClassName" or "module.path.ClassName"
+        lg = (meta.get("logging", {}).get("logger", {}) or {}).get("name")
+        if lg and lg not in ("Logger", "LoggerBase"):
+            import importlib
+            modname, _, clsname = (lg.rpartition(":") if ":" in lg
+                                   else lg.rpartition("."))
+            Logger = getattr(importlib.import_module(modname), clsname)
     parsed = parse_config(config_path)
     metric_name = metric_map.get(args.dataset, "accuracy")
     metrics = Metrics(args.dataset, parsed["arch_gnn"]["loss"] == "sigmoid",
@@ -160,6 +172,7 @@ def main(argv=None):
                       compute_dtype=args.compute_dtype,
                       prng_impl=args.prng)
     trainer.trace_dir = args.trace_dir
+    trainer.eval_train_every = max(1, args.eval_train_every)
     print(f"TOTAL NUM OF PARAMS = "
           f"{sum(x.size for x in __import__('jax').tree_util.tree_leaves(trainer.params))}")
     if args.nocache:
@@ -179,6 +192,8 @@ def main(argv=None):
                 trainer.params, trainer.opt_state = Logger.load_checkpoint(
                     trainer.params, trainer.opt_state, pm[-1],
                     po[-1] if po else None)
+                logger.record_loaded_checkpoint(pm[-1],
+                                                po[-1] if po else None)
             trainer.train(log_test_convergence=args.log_test_convergence)
             status = "finished"
         except KeyboardInterrupt:

@@ -80,10 +80,15 @@ class SamplerConfig:
     add_self_edge: bool = False
     include_target_conn: bool = False
     # induction strategy: 'cand' (candidate-edge gather, work ~ sum(deg),
-    # needs cand_cap > 0) or 'search' (pairwise binary search, exact for
-    # any cap).  cand_cap is the static per-subgraph candidate budget.
+    # needs cand_cap > 0), 'hub' (degree-capped candidates + static hub
+    # table pairwise search — bounded memory on power-law graphs,
+    # undirected only), or 'search' (pairwise binary search, exact for
+    # any cap).  cand_cap is the static per-subgraph candidate budget;
+    # deg_cap/hub_slots parameterize the 'hub' strategy.
     induction: str = "search"
     cand_cap: int = 0
+    deg_cap: int = 0
+    hub_slots: int = 0
     # feature augmentation to compute ('hops'/'pprs'/'drnls')
     aug_feats: Tuple[str, ...] = ()
 

@@ -120,6 +120,109 @@ def membership_matrix_cand(graph: DeviceGraph, nodes: jax.Array,
     return adj * row_valid[:, :, None], overflow
 
 
+def membership_matrix_hub(graph: DeviceGraph, nodes: jax.Array,
+                          cand_cap: int, deg_cap: int, hub_slots: int
+                          ) -> tuple:
+    """Hub-safe candidate induction for UNDIRECTED graphs.
+
+    The plain candidate strategy (:func:`membership_matrix_cand`)
+    enumerates every out-edge of every member, so one hub member with
+    deg 1e4-1e6 inflates the static ``cand_cap`` (and the [B, E, N]
+    one-hot buffers) by orders of magnitude — the round-1 scaling cliff
+    on power-law graphs.  The reference's per-thread hash loop
+    (cpp:378-427) is insensitive to hubs; this reproduces that
+    insensitivity with two bounded passes:
+
+    * members with deg <= ``deg_cap`` enumerate ALL their edges
+      (E <= sum of capped degrees, bounded by n_pad * deg_cap).  An
+      edge between a small node and a hub is found from the small side
+      and symmetrized — valid because the graph is undirected;
+    * the top-``hub_slots`` members by degree form a static hub table;
+      only hub x hub pairs run the pairwise CSR binary search
+      ([B, H, H] queries — tiny next to the [B, N, N] full search).
+
+    Edges are dropped ONLY if candidates exceed ``cand_cap`` or more
+    than ``hub_slots`` members exceed ``deg_cap``; both are counted in
+    ``overflow``.  Callers with deterministic scopes (PPR tables) size
+    all three exactly, making overflow structurally zero.
+
+    Returns (adj [B,N,N] f32, overflow [] int32).
+    """
+    n_id = graph.num_nodes
+    b, n = nodes.shape
+    u = jnp.minimum(nodes, n_id - 1)
+    row_valid = nodes < n_id
+    lo = jnp.where(row_valid, graph.indptr[u], 0)
+    deg_full = jnp.where(row_valid, graph.indptr[u + 1] - lo, 0)
+    small = deg_full <= deg_cap
+    deg_c = jnp.where(small, deg_full, 0)
+    csum = jnp.cumsum(deg_c, axis=-1)                   # inclusive [B, N]
+    total = csum[:, -1]
+    overflow = jnp.maximum(total - cand_cap, 0).sum().astype(jnp.int32)
+
+    e = jnp.arange(cand_cap, dtype=csum.dtype)[None, :]
+    owner = jax.vmap(lambda c, q: jnp.searchsorted(
+        c, q, side="right", method="compare_all"))(
+        csum, jnp.broadcast_to(e, (b, cand_cap)))       # [B, E]
+    owner_c = jnp.minimum(owner, n - 1)
+    start = jnp.where(owner_c > 0,
+                      jnp.take_along_axis(csum, jnp.maximum(owner_c - 1, 0),
+                                          axis=-1), 0)
+    within = e - start
+    pos = jnp.take_along_axis(lo, owner_c, axis=-1) + within
+    valid = e < total[:, None]
+    nbr = graph.indices[jnp.clip(pos, 0, graph.num_edges - 1)]
+    loc = jax.vmap(lambda t, q: jnp.searchsorted(
+        t, q, method="compare_all"))(nodes, nbr)        # [B, E]
+    loc_c = jnp.minimum(loc, n - 1)
+    hit = valid & (jnp.take_along_axis(nodes, loc_c, axis=-1) == nbr)
+    ar = jnp.arange(n, dtype=owner_c.dtype)
+    uoh = (owner_c[:, :, None] == ar).astype(jnp.bfloat16)
+    voh = (jnp.where(hit, loc_c, n)[:, :, None] == ar).astype(jnp.bfloat16)
+    adj = jnp.einsum("bei,bej->bij", uoh, voh,
+                     preferred_element_type=jnp.float32) > 0
+    # undirected: an edge whose other endpoint is a hub was only found
+    # from the small side — mirror it
+    adj = adj | jnp.swapaxes(adj, -1, -2)
+
+    if hub_slots > 0:
+        h = hub_slots
+        order = jnp.argsort(-deg_full, axis=-1)[:, :h]          # [B, H]
+        hdeg = jnp.take_along_axis(deg_full, order, axis=-1)
+        hub_valid = hdeg > deg_cap
+        n_hubs = (deg_full > deg_cap).sum(-1)
+        overflow = overflow + jnp.maximum(
+            n_hubs - h, 0).sum().astype(jnp.int32)
+        hlo = jnp.take_along_axis(lo, order, axis=-1)
+        hnodes = jnp.take_along_axis(nodes, order, axis=-1)
+        q = hnodes[:, None, :]                                  # [B, 1, H]
+        lo2 = jnp.broadcast_to(hlo[:, :, None], (b, h, h))
+        hi2 = jnp.broadcast_to((hlo + hdeg)[:, :, None], (b, h, h))
+        hi_end = hi2
+
+        def step(_, carry):
+            lo3, hi3 = carry
+            mid = (lo3 + hi3) // 2
+            v = graph.indices[jnp.clip(mid, 0, graph.num_edges - 1)]
+            ge = v >= q
+            return jnp.where(ge, lo3, mid + 1), jnp.where(ge, mid, hi3)
+
+        lo2, hi2 = jax.lax.fori_loop(0, graph.search_steps, step, (lo2, hi2))
+        found = (lo2 < hi_end) & (
+            graph.indices[jnp.clip(lo2, 0, graph.num_edges - 1)] == q)
+        s = found & hub_valid[:, :, None] & hub_valid[:, None, :]
+        poh = ((order[:, :, None] == ar)
+               & hub_valid[..., None]).astype(jnp.bfloat16)     # [B, H, N]
+        tmp = jnp.einsum("bhg,bgj->bhj", s.astype(jnp.bfloat16), poh,
+                         preferred_element_type=jnp.float32)
+        adj_h = jnp.einsum("bhi,bhj->bij", poh, tmp,
+                           preferred_element_type=jnp.float32) > 0
+        adj = adj | adj_h
+
+    adj = adj.astype(jnp.float32)
+    return adj * row_valid[:, :, None], overflow
+
+
 def bfs_hops(adj: jax.Array, start_local: jax.Array, node_mask: jax.Array
              ) -> jax.Array:
     """Batched BFS distance from a start node over dense blocks.
@@ -175,7 +278,10 @@ def induce(graph: DeviceGraph, nodes: jax.Array, ppr_vals: jax.Array,
     node_mask = nodes < n_id
     size = node_mask.sum(-1).astype(jnp.int32)
 
-    if cfg.induction == "cand" and cfg.cand_cap > 0:
+    if cfg.induction == "hub" and cfg.cand_cap > 0:
+        adj, overflow = membership_matrix_hub(graph, nodes, cfg.cand_cap,
+                                              cfg.deg_cap, cfg.hub_slots)
+    elif cfg.induction == "cand" and cfg.cand_cap > 0:
         adj, overflow = membership_matrix_cand(graph, nodes, cfg.cand_cap)
     else:
         adj = membership_matrix(graph, nodes)

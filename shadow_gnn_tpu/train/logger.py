@@ -169,6 +169,20 @@ class Logger:
                 opt_state = serialization.from_bytes(opt_template, f.read())
         return params, opt_state
 
+    def record_loaded_checkpoint(self, path_model, path_opt=None):
+        """Copy a cross-run loaded checkpoint into this run dir for
+        provenance (reference load_model, logging_base.py:340-361)."""
+        if self.no_log:
+            return []
+        os.makedirs(self.dir_log, exist_ok=True)
+        dests = []
+        for p in (path_model, path_opt):
+            if p and os.path.isfile(p):
+                d = f"{self.dir_log}/loaded_{os.path.basename(p)}"
+                shutil.copy2(p, d)
+                dests.append(d)
+        return dests
+
     def save_tensor(self, arr, fname: str):
         if self.no_log:
             return None

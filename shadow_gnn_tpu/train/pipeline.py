@@ -109,6 +109,10 @@ class Trainer:
         self._host_adj = {
             TRAIN: raw.adj(TRAIN), VALID: raw.adj(VALID), TEST: raw.adj(TEST)}
         self.num_nodes = raw.num_nodes
+        # hub-safe induction is gated on structural undirectedness (its
+        # symmetrization step assumes every edge has a reverse)
+        from shadow_gnn_tpu.data.graph import is_undirected
+        self.undirected = is_undirected(raw.indptr_full, raw.indices_full)
         # features / labels on device
         self.feat_np = np.asarray(raw.feat_full, dtype=np.float32)
         self.dim_feat_raw = self.feat_np.shape[1]
@@ -195,6 +199,8 @@ class Trainer:
             po = sorted(_glob.glob(f"{d}/saved_optimizer_*.msgpack"))
             self.params, self.opt_state = Logger.load_checkpoint(
                 self.params, self.opt_state, pm[-1], po[-1] if po else None)
+            self.logger.record_loaded_checkpoint(pm[-1],
+                                                 po[-1] if po else None)
         self._epoch_fns: Dict[Tuple, Any] = {}
         # --trace_dir: jax.profiler device trace of train epoch 1 (the
         # first post-compile epoch) — the TPU-native replacement for the
@@ -202,6 +208,9 @@ class Trainer:
         self.trace_dir: Optional[str] = None
         from shadow_gnn_tpu.train.profiler import SubgraphProfiler
         self.profiler = SubgraphProfiler(self.num_ensemble)
+        # train-metric batch subsampling (reference --eval_train_every /
+        # PERIOD_LOG, logging_base.py:216); 1 = use every batch
+        self.eval_train_every = 1
         if matmul_precision:
             jax.config.update("jax_default_matmul_precision", matmul_precision)
 
@@ -247,7 +256,7 @@ class Trainer:
                 method_m = method
                 if m in (VALID, TEST) and method == "ppr_st":
                     method_m = "ppr"
-                induction, cap = "search", 0
+                induction, cap, dcap, hslots = "search", 0, 0, 0
                 if method == "khop":
                     # candidate-edge induction with an estimated cap:
                     # E[deg of a sampled node] is size-biased; x3 slack,
@@ -255,9 +264,24 @@ class Trainer:
                     deg = np.diff(self._host_adj[m][0]).astype(np.float64)
                     biased = float((deg ** 2).sum() / max(deg.sum(), 1))
                     est = min(float(deg.max()), 3.0 * biased + 16.0)
-                    induction, cap = "cand", int(n_pad * est)
+                    mean_deg = float(deg.mean()) if deg.size else 1.0
+                    if self.undirected and float(deg.max()) > 8 * mean_deg:
+                        # power-law graph: cap per-member enumeration and
+                        # route hub members through the pairwise search
+                        # table; overflow is monitored per epoch
+                        dcap = int(max(64.0, 8.0 * mean_deg))
+                        biased_c = float(
+                            ((deg ** 2) * (deg <= dcap)).sum()
+                            / max(deg.sum(), 1))
+                        est_c = min(float(dcap), 3.0 * biased_c + 16.0)
+                        induction = "hub"
+                        cap = int(n_pad * est_c)
+                        hslots = max(8, n_pad // 8)
+                    else:
+                        induction, cap = "cand", int(n_pad * est)
                 cfg_mode[m] = SamplerConfig(method=method_m, induction=induction,
-                                            cand_cap=cap, **common)
+                                            cand_cap=cap, deg_cap=dcap,
+                                            hub_slots=hslots, **common)
             branches.append({"raw": cfg_d, "cfg": cfg_mode})
         return branches
 
@@ -273,7 +297,7 @@ class Trainer:
         if mode in self.tables:
             return
         self.tables[mode] = []
-        for br in self.branches:
+        for i_br, br in enumerate(self.branches):
             cfg = br["cfg"][mode]
             if cfg.method not in ("ppr", "ppr_st"):
                 self.tables[mode].append(None)
@@ -281,6 +305,22 @@ class Trainer:
             # stochastic PPR samples from a 2k pool (ensemble :226-238)
             k_tab = cfg.k * (2 if br["cfg"][TRAIN].method == "ppr_st" else 1)
             targets = self._ppr_targets(mode)
+            # link-task (and transductive node-task) modes share the same
+            # adjacency and target set -> compute the table ONCE and
+            # duplicate (reference duplicate_modes, minibatch.py:383-389)
+            memo_key = (i_br, k_tab, cfg.alpha, cfg.epsilon,
+                        id(self._host_adj[mode][0]),
+                        hash(targets.tobytes()))
+            memo = getattr(self, "_ppr_memo", None)
+            if memo is None:
+                memo = self._ppr_memo = {}
+            if memo_key in memo:
+                tab, cfg_fields = memo[memo_key]
+                import dataclasses as _dc_mod
+                br["cfg"][mode] = _dc_mod.replace(br["cfg"][mode],
+                                                  **cfg_fields)
+                self.tables[mode].append(tab)
+                continue
             neighs, scores = self._compute_ppr(mode, cfg, k_tab, targets)
             tab_n, tab_s = ppr_mod.ppr_topk_tables(neighs, scores, k_tab)
             if self.task == "link":
@@ -290,17 +330,45 @@ class Trainer:
                 full_n[targets] = tab_n
                 full_s[targets] = tab_s
                 tab_n, tab_s = full_n, full_s
-            # deterministic scope -> exact candidate-edge cap:
-            # max over roots of deg(root) + sum(deg(table row))
+            # deterministic scope -> exact induction sizing.  Scopes are
+            # subsets of the table rows, so per-root candidate totals and
+            # hub counts are computable host-side; on hub-heavy graphs
+            # the degree-capped 'hub' strategy bounds the candidate
+            # buffer (the round-1 cand_cap blowup: one 1e5-degree table
+            # entry used to inflate cand_cap for every batch)
             deg = np.diff(self._host_adj[mode][0]).astype(np.int64)
-            row_deg = (deg[np.clip(tab_n, 0, self.num_nodes - 1)]
-                       * (tab_n >= 0)).sum(1)
-            cap = int(deg[targets].max() + row_deg.max()) * self.num_targets
-            import dataclasses as _dc
-            br["cfg"][mode] = _dc.replace(br["cfg"][mode], induction="cand",
-                                          cand_cap=cap + 8)
-            self.tables[mode].append(
-                PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s)))
+            scope_deg = (deg[np.clip(tab_n, 0, self.num_nodes - 1)]
+                         * (tab_n >= 0))                       # [T, k_tab]
+            root_deg = deg[targets]
+            max_deg = int(deg.max()) if deg.size else 1
+            choices = sorted({d for d in (64, 128, 256, 512, 1024, 2048)
+                              if d < max_deg} | {max_deg})
+            best = None
+            for dc in choices:
+                e_rows = ((scope_deg * (scope_deg <= dc)).sum(1)
+                          + root_deg * (root_deg <= dc))
+                h_rows = (scope_deg > dc).sum(1) + (root_deg > dc)
+                e_max, h_max = int(e_rows.max()), int(h_rows.max())
+                # cost model: candidate one-hots cost ~E (x n_pad bytes);
+                # hub pairs cost ~H^2 binary searches (x ~24 gather steps)
+                cost = e_max + 24 * h_max * h_max
+                if best is None or cost < best[0]:
+                    best = (cost, dc, e_max, h_max)
+            _, dc, e_max, h_max = best
+            import dataclasses as _dc_mod
+            if h_max > 0 and self.undirected:
+                cfg_fields = dict(
+                    induction="hub",
+                    cand_cap=e_max * self.num_targets + 8, deg_cap=dc,
+                    hub_slots=min(h_max * self.num_targets + 2, cfg.n_pad))
+            else:
+                e_rows = scope_deg.sum(1) + root_deg
+                cap = int(e_rows.max()) * self.num_targets
+                cfg_fields = dict(induction="cand", cand_cap=cap + 8)
+            br["cfg"][mode] = _dc_mod.replace(br["cfg"][mode], **cfg_fields)
+            tab = PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s))
+            memo[memo_key] = (tab, cfg_fields)
+            self.tables[mode].append(tab)
 
     def _compute_ppr(self, mode: int, cfg: SamplerConfig, k_tab: int,
                      targets: np.ndarray):
@@ -492,8 +560,12 @@ class Trainer:
             rng, r_samp = jax.random.split(rng)
             batches, feats = self._sample_branch_batches(mode, roots, rows,
                                                          r_samp, arrays)
+            # the reference zeroes label-input features whenever the MODE
+            # is TRAIN, including status='final' eval passes
+            # (models.py:182-183) -- zeroing follows the mode, dropout
+            # follows train/eval status
             logits, _ = model.apply(params, batches, feats,
-                                    mode_train=False, train=False)
+                                    mode_train=(mode == TRAIN), train=False)
             loss = weighted_loss_fn(cfg_m, logits, labels, w)
             ovf = sum(b.overflow for b in batches)
             return (params, rng), (loss, predict_fn(cfg_m, logits), ovf)
@@ -568,24 +640,32 @@ class Trainer:
 
     def _negative_sample(self, n: int) -> np.ndarray:
         """Uniform negative edges avoiding existing train edges + self
-        loops (minibatch.py:287-293 via PyG negative_sampling)."""
+        loops (minibatch.py:287-293 via PyG negative_sampling).
+
+        Membership is one fully vectorized batched binary search into
+        the CSR (no Python-level per-candidate loop — that was ~2.4M
+        interpreter calls per collab epoch)."""
         indptr, indices = self._host_adj[TRAIN]
+        indptr = np.asarray(indptr, dtype=np.int64)
+        max_deg = int(np.diff(indptr).max()) if indptr.size > 1 else 1
+        steps = max(1, int(np.ceil(np.log2(max_deg + 1))))
         out = np.empty((0, 2), np.int64)
         while out.shape[0] < n:
             cand = self.rng_np.integers(0, self.num_nodes,
                                         size=(2 * n, 2)).astype(np.int64)
             cand = cand[cand[:, 0] != cand[:, 1]]
-            # membership test against CSR rows
             lo = indptr[cand[:, 0]]
             hi = indptr[cand[:, 0] + 1]
-            exists = np.zeros(cand.shape[0], bool)
-            # vectorized binary search per candidate
-            for _ in range(1):
-                pos = np.array([np.searchsorted(indices[l:h], d) + l
-                                for l, h, d in zip(lo, hi, cand[:, 1])])
-                inr = pos < hi
-                exists[inr] = indices[np.minimum(pos[inr],
-                                                 indices.size - 1)] == cand[inr, 1]
+            tgt = cand[:, 1]
+            l, h = lo.copy(), hi.copy()
+            for _ in range(steps):
+                mid = (l + h) >> 1
+                v = indices[np.minimum(mid, indices.size - 1)]
+                ge = v >= tgt
+                h = np.where(ge, mid, h)
+                l = np.where(ge, l, mid + 1)
+            exists = (l < hi) & (
+                indices[np.minimum(l, indices.size - 1)] == tgt)
             out = np.concatenate([out, cand[~exists]])
         return out[:n]
 
@@ -638,8 +718,13 @@ class Trainer:
         losses = np.asarray(losses)
         preds = np.asarray(preds).reshape(-1, preds.shape[-1])
         t1 = time.time()
-        # metrics on host over valid rows
+        # metrics on host over valid rows; TRAIN metrics optionally use
+        # only every Nth batch (reference PERIOD_LOG subsampling)
         valid = w_np > 0
+        if train and self.eval_train_every > 1:
+            sel = np.arange(losses.size) % self.eval_train_every == 0
+            losses = losses[sel]
+            valid = valid & np.repeat(sel, self.batch_size)
         y_pred = preds[valid]
         y_true = labels_np[valid]
         if self.task == "node" and y_true.ndim == 1:
@@ -706,7 +791,7 @@ class Trainer:
                 batches, feats = self._sample_branch_batches(
                     md, roots, rows, jax.random.PRNGKey(0), arrays)
                 _, emb_ens = model.apply(params, batches, feats,
-                                         mode_train=False, train=False)
+                                         mode_train=(md == TRAIN), train=False)
                 return emb_ens
             return emb_step
 

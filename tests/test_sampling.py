@@ -291,3 +291,78 @@ def test_ppr_st_sample_size_counting(small_graph, dev_graph):
             # which dedups away iff the target's own entry was drawn
             assert len(got) in (ss, ss + 1), (i, seed, len(got), ss)
             assert int(t) in got
+
+
+def test_hub_induction_matches_search():
+    """hub strategy (capped candidates + hub pairwise table) must agree
+    with the exact pairwise search on a power-law undirected graph."""
+    from shadow_gnn_tpu.sampling.induction import membership_matrix_hub
+    indptr, indices = make_random_graph(800, 12.0, seed=7, power_law=True)
+    deg = np.diff(indptr)
+    g = DeviceGraph.from_csr(indptr, indices)
+    rng = np.random.default_rng(1)
+    nodes = np.full((4, 48), 800, np.int32)
+    for b in range(4):
+        # bias picks toward hubs so hub-hub pairs actually occur
+        p = (deg + 1.0) / (deg + 1.0).sum()
+        picks = np.sort(rng.choice(800, size=40, replace=False, p=p))
+        nodes[b, :picks.size] = picks
+    nj = jnp.asarray(nodes)
+    ref = np.asarray(membership_matrix(g, nj))
+    deg_cap = 16
+    # exact sizing like the pipeline: capped candidate sum + hub count
+    ndeg = deg[np.minimum(nodes, 799)] * (nodes < 800)
+    e_max = int((ndeg * (ndeg <= deg_cap)).sum(1).max())
+    h_max = int((ndeg > deg_cap).sum(1).max())
+    assert h_max >= 2, "test graph must contain hub members"
+    adj, ovf = membership_matrix_hub(g, nj, e_max + 8, deg_cap, h_max + 1)
+    assert int(ovf) == 0
+    np.testing.assert_array_equal(ref, np.asarray(adj))
+    # under-sized hub table must count the dropped hubs
+    _, ovf2 = membership_matrix_hub(g, nj, e_max + 8, deg_cap,
+                                    max(1, h_max - 2))
+    assert int(ovf2) > 0
+
+
+def test_pipeline_selects_hub_induction_on_powerlaw(tmp_path):
+    """Trainer sizes PPR induction exactly; on a hubby graph it must pick
+    the bounded 'hub' strategy with a small cand_cap."""
+    from shadow_gnn_tpu.data import make_synthetic_dataset
+    from shadow_gnn_tpu.train.config import parse_config
+    from shadow_gnn_tpu.train.pipeline import Trainer
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu import TRAIN
+    g = make_synthetic_dataset(num_nodes=3000, avg_deg=10, seed=5,
+                               power_law=True)
+    deg = np.diff(g.indptr_full)
+    assert deg.max() > 20 * deg.mean(), deg.max()
+    cfgd = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {"aggr": "sage", "num_layers": 2, "dim": 16,
+                         "pooling": "center", "residue": "none",
+                         "act": "relu", "loss": "softmax"},
+        "hyperparameter": {"lr": 0.01, "dropout": 0.0, "batch_size": 32,
+                           "end": 1},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [32],
+                     "epsilon": [1e-4]}],
+    }
+    parsed = parse_config(cfgd)
+    m = Metrics("toy", False, "accuracy", 1)
+    tr = Trainer("toy", str(tmp_path), g, parsed, m,
+                 Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
+                 use_device_ppr=False)
+    assert tr.undirected
+    tr._ensure_tables(TRAIN)
+    cfg = tr.branches[0]["cfg"][TRAIN]
+    assert cfg.induction == "hub", cfg
+    assert cfg.hub_slots > 0
+    # uncapped sizing for comparison: must be much larger
+    tab = tr.tables[TRAIN][0]
+    tn = np.asarray(tab.neighs)
+    uncapped = int((deg[np.clip(tn, 0, 2999)] * (tn >= 0)).sum(1).max()
+                   + deg.max())
+    assert uncapped > 1.5 * cfg.cand_cap, (uncapped, cfg.cand_cap)
+    # and one full epoch must run without overflow warnings
+    stats = tr.run_epoch(0, TRAIN)
+    assert np.isfinite(stats["loss"])

@@ -547,3 +547,131 @@ def test_inductive_smoothening(tmp_path):
                            sm_full[raw.node_set[TRAIN]])
     tr.train()
     assert tr.logger.final_stats[TEST]["accuracy"] > 0.3
+
+
+def test_link_ppr_tables_shared_across_modes(tmp_path):
+    """Link tasks compute the PPR table once and duplicate across modes
+    (reference duplicate_modes, minibatch.py:383-389)."""
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {
+            "dim": 16, "aggr": "sage", "loss": "sigmoid", "num_layers": 2,
+            "act": "relu", "residue": "none", "pooling": "center",
+        },
+        "hyperparameter": {"end": 1, "lr": 0.01, "dropout": 0.0,
+                           "batch_size": 16},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [8],
+                     "epsilon": [1e-4]}],
+    }
+    g = make_synthetic_dataset(num_nodes=300, avg_deg=6, num_feat=8,
+                               seed=4, task="link")
+    parsed = parse_config(cfg)
+    m = Metrics("toy", True, "hits20", 1)
+    tr = Trainer("toy", "", g, parsed, m,
+                 Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
+                 use_device_ppr=False)
+    n_calls = [0]
+    orig = tr._compute_ppr
+
+    def counting(*a, **kw):
+        n_calls[0] += 1
+        return orig(*a, **kw)
+
+    tr._compute_ppr = counting
+    for md in (TRAIN, VALID, TEST):
+        tr._ensure_tables(md)
+    assert n_calls[0] == 1, f"PPR computed {n_calls[0]}x, want shared 1x"
+    assert tr.tables[TRAIN][0] is tr.tables[VALID][0]
+
+
+def test_negative_sample_correctness(tmp_path):
+    """Vectorized negative sampler: right count, no self loops, no
+    existing train edges."""
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {
+            "dim": 16, "aggr": "sage", "loss": "sigmoid", "num_layers": 1,
+            "act": "relu", "residue": "none", "pooling": "center",
+        },
+        "hyperparameter": {"end": 1, "lr": 0.01, "dropout": 0.0,
+                           "batch_size": 16},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [8],
+                     "epsilon": [1e-4]}],
+    }
+    g = make_synthetic_dataset(num_nodes=400, avg_deg=8, num_feat=8,
+                               seed=9, task="link")
+    parsed = parse_config(cfg)
+    m = Metrics("toy", True, "hits20", 1)
+    tr = Trainer("toy", "", g, parsed, m,
+                 Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
+                 use_device_ppr=False)
+    neg = tr._negative_sample(500)
+    assert neg.shape == (500, 2)
+    assert (neg[:, 0] != neg[:, 1]).all()
+    indptr, indices = tr._host_adj[TRAIN]
+    for u, v in neg[:100]:
+        row = indices[indptr[u]:indptr[u + 1]]
+        assert v not in row, (u, v)
+
+
+def test_eval_train_every_and_provenance(tmp_path):
+    """C21 closures: train-metric subsampling flag + checkpoint
+    provenance copy on cross-run load."""
+    import glob
+    cfg = dict(BASE_CONFIG)
+    cfg["hyperparameter"] = dict(cfg["hyperparameter"], end=2)
+    tr = make_trainer(tmp_path / "a", cfg)
+    tr.eval_train_every = 2
+    tr.train()
+    # runs end-to-end with subsampled train metrics
+    assert TEST in tr.logger.final_stats
+    ckpts = sorted(glob.glob(str(tmp_path / "a" / "log" /
+                                 "saved_model_*.msgpack")))
+    assert ckpts
+    # provenance: loading that checkpoint into a new run copies it there
+    cfg2 = dict(cfg)
+    cfg2["hyperparameter"] = dict(cfg["hyperparameter"], end=1,
+                                  retrain_dir=str(tmp_path / "a" / "log"))
+    tr2 = make_trainer(tmp_path / "b", cfg2)
+    loaded = glob.glob(str(tmp_path / "b" / "log" / "loaded_*.msgpack"))
+    assert loaded, "cross-run load must leave a provenance copy"
+
+
+def test_final_train_eval_zeroes_labels(tmp_path):
+    """use_label configs: the final TRAIN-split eval pass must zero the
+    label-input features like the reference (models.py:182-183 keys the
+    zeroing on mode==TRAIN, not on the train/eval status)."""
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {
+            "dim": 32, "aggr": "sage", "loss": "softmax", "num_layers": 2,
+            "act": "relu", "residue": "none", "pooling": "center",
+            "use_label": "all",
+        },
+        "hyperparameter": {"end": 2, "lr": 0.01, "dropout": 0.0,
+                           "batch_size": 32},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [16],
+                     "epsilon": [1e-5]}],
+    }
+    tr = make_trainer(tmp_path, cfg)
+    assert tr.dim_label_smooth > 0
+
+    class Spy:
+        def __init__(self, inner):
+            self.inner, self.calls = inner, []
+
+        def apply(self, *a, **kw):
+            self.calls.append(kw.get("mode_train"))
+            return self.inner.apply(*a, **kw)
+
+    tr.model = Spy(tr.model)
+    tr.run_epoch(0, TRAIN, status="final")
+    assert any(tr.model.calls), \
+        "final TRAIN eval must run with mode_train=True (label zeroing)"
+    tr.model = tr.model.inner
+    tr._epoch_fns.clear()
+    tr.model2 = None
+    # and a VALID final pass must NOT zero (mode != TRAIN)
+    tr.model = Spy(tr.model)
+    tr.run_epoch(0, VALID, status="final")
+    assert not any(tr.model.calls)
