@@ -64,6 +64,13 @@ def initialize(coordinator_address: Optional[str] = None,
     if num_processes == 1:
         return False
     import jax
+    # Multi-process CPU jobs (CI smoke, dev boxes) need a cross-process
+    # collectives backend; TPU pods ride ICI and ignore this flag.
+    if jax.config.jax_platforms == "cpu":
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # older/newer jax without the option
+            pass
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id,
