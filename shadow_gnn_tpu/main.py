@@ -44,6 +44,11 @@ def build_argparser():
                         "(reference PERIOD_LOG subsampling)")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (cpu for debugging)")
+    p.add_argument("--chunk_batches", type=int, default=16,
+                   help="batches per compiled chunk program (0 = one "
+                        "monolithic program per (mode, batch-count); the "
+                        "default chunked path compiles 2 programs per run "
+                        "instead of 4+)")
     p.add_argument("--device_ppr", type=str, default="auto",
                    choices=["auto", "device", "host"],
                    help="PPR precompute backend")
@@ -173,6 +178,7 @@ def main(argv=None):
                       prng_impl=args.prng)
     trainer.trace_dir = args.trace_dir
     trainer.eval_train_every = max(1, args.eval_train_every)
+    trainer.chunk_batches = max(0, args.chunk_batches)
     print(f"TOTAL NUM OF PARAMS = "
           f"{sum(x.size for x in __import__('jax').tree_util.tree_leaves(trainer.params))}")
     if args.nocache:

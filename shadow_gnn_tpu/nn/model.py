@@ -98,13 +98,16 @@ class DeepGNN(nn.Module):
         for i in range(cfg.num_ensemble):
             batch, feat = batches[i], feats[i]
             feat = (feat * batch.node_mask[..., None]).astype(cdt)
-            # zero label inputs at targets during training (models.py:182)
-            if cfg.dim_label_smooth > 0 and mode_train:
+            # zero label inputs at targets during training (models.py:182).
+            # ``mode_train`` may be a TRACED scalar so one compiled eval
+            # program serves VALID/TEST and final TRAIN-mode passes alike.
+            if cfg.dim_label_smooth > 0:
                 t_oh = jax.nn.one_hot(batch.targets, feat.shape[1]).sum(1)
                 keep = 1.0 - t_oh[..., None]                       # [B, N, 1]
                 label_cols = jnp.arange(feat.shape[-1]) >= (
                     feat.shape[-1] - cfg.dim_label_smooth)
-                feat = jnp.where(label_cols[None, None, :] , feat * keep, feat)
+                zero_lab = jnp.asarray(mode_train) & label_cols[None, None, :]
+                feat = jnp.where(zero_lab, feat * keep, feat)
             # feature augmentation (models.py:185-191)
             if cfg.feature_augment:
                 augs = batch_aug_onehots(batch, cfg.feature_augment)

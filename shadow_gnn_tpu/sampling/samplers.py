@@ -99,17 +99,32 @@ def _ppr_keep_mask(scores: jax.Array, avail: jax.Array, threshold: float,
     return in_range & pass_thresh
 
 
+def _table_rows(tables: Optional[PPRTables], table_rows: Optional[jax.Array],
+                table_slices) -> Tuple[jax.Array, jax.Array]:
+    """Per-target table rows, either gathered from the full per-mode
+    table ([T_mode, k] buffers) or pre-gathered outside the program
+    ([B, T, k] slices).  The pre-gathered form makes the epoch program's
+    shapes independent of the mode's target count, so one compiled
+    program serves TRAIN/VALID/TEST alike (compiles on this backend cost
+    minutes PER PROGRAM — fewer distinct programs is the lever)."""
+    if table_slices is not None:
+        n, s = table_slices
+        return n.reshape(-1, n.shape[-1]), s.reshape(-1, s.shape[-1])
+    return (tables.neighs[table_rows.reshape(-1)],
+            tables.scores[table_rows.reshape(-1)])
+
+
 def sample_nodes_ppr(cfg: SamplerConfig, graph: DeviceGraph,
                      roots: jax.Array, table_rows: jax.Array,
-                     tables: PPRTables) -> Tuple[jax.Array, jax.Array]:
+                     tables: PPRTables, table_slices=None
+                     ) -> Tuple[jax.Array, jax.Array]:
     """Deterministic top-k PPR scope (cpp:565-595).
 
     roots       [B, T] global target ids
     table_rows  [B, T] row index of each target in ``tables``
     """
     b, t = roots.shape
-    neighs = tables.neighs[table_rows.reshape(-1)]           # [B*T, >=k]
-    scores = tables.scores[table_rows.reshape(-1)]
+    neighs, scores = _table_rows(tables, table_rows, table_slices)
     avail = (neighs >= 0).sum(-1)
     # k_rule caps the deterministic scope at top-k even when the table is
     # wider (ppr_st branches carry 2k pools and VALID/TEST falls back to
@@ -129,8 +144,8 @@ def sample_nodes_ppr(cfg: SamplerConfig, graph: DeviceGraph,
 
 def sample_nodes_ppr_st(cfg: SamplerConfig, graph: DeviceGraph,
                         roots: jax.Array, table_rows: jax.Array,
-                        tables: PPRTables, rng: jax.Array
-                        ) -> Tuple[jax.Array, jax.Array]:
+                        tables: PPRTables, rng: jax.Array,
+                        table_slices=None) -> Tuple[jax.Array, jax.Array]:
     """Stochastic PPR scope (cpp:603-650): sample ``sample_size`` table
     entries with probability ~ score, via the exponential race
     u^(1/s) (equivalently top-k of log(u)/s).
@@ -141,8 +156,7 @@ def sample_nodes_ppr_st(cfg: SamplerConfig, graph: DeviceGraph,
     forcing inclusion is strictly more correct.
     """
     b, t = roots.shape
-    neighs = tables.neighs[table_rows.reshape(-1)]           # [B*T, 2k pool]
-    scores = tables.scores[table_rows.reshape(-1)]
+    neighs, scores = _table_rows(tables, table_rows, table_slices)
     avail = (neighs >= 0).sum(-1)
     # sample_size counts over min(k, avail); the counting loop increments
     # BEFORE the threshold break (cpp:617-623), so the first failing entry
@@ -212,13 +226,15 @@ def sample_nodes_iid(cfg: SamplerConfig, graph: DeviceGraph, roots: jax.Array
 def sample_subgraphs(cfg: SamplerConfig, graph: DeviceGraph,
                      roots: jax.Array, rng: Optional[jax.Array] = None,
                      table_rows: Optional[jax.Array] = None,
-                     tables: Optional[PPRTables] = None) -> SubgraphBatch:
+                     tables: Optional[PPRTables] = None,
+                     table_slices=None) -> SubgraphBatch:
     """Sample + induce one batch of subgraphs (jit-friendly)."""
     if cfg.method == "ppr":
-        nodes, ppr_vals = sample_nodes_ppr(cfg, graph, roots, table_rows, tables)
+        nodes, ppr_vals = sample_nodes_ppr(cfg, graph, roots, table_rows,
+                                           tables, table_slices)
     elif cfg.method == "ppr_st":
         nodes, ppr_vals = sample_nodes_ppr_st(cfg, graph, roots, table_rows,
-                                              tables, rng)
+                                              tables, rng, table_slices)
     elif cfg.method == "khop":
         nodes, ppr_vals = sample_nodes_khop(cfg, graph, roots, rng)
     elif cfg.method == "nodeIID":

@@ -56,6 +56,40 @@ def weighted_loss_fn(cfg: ModelConfig, logits, labels, weights):
     return (ce * weights).sum() / wsum
 
 
+def bucket_size(n: int) -> int:
+    """Round ``n`` up to a geometric bucket (1, 2, 3, 4, 6, 8, 12, ...).
+
+    Compiles on this backend cost minutes PER PROGRAM regardless of
+    program size (the epoch program is only ~3k HLO ops), so the lever
+    is fewer distinct shapes: epoch scan lengths are padded to buckets
+    so different split sizes hit the same compiled program / persistent
+    cache entry.  Max padding waste is 33%; typical is ~10%.
+    """
+    if n <= 4:
+        return max(n, 0)
+    b = 4
+    while b < n:
+        # x1.5 steps, kept multiples of 4 for clean tiling
+        b = -(-(b * 3 // 2) // 4) * 4
+    return b
+
+
+def bucket_cap(n: int) -> int:
+    """Round an induction capacity up to a shared bucket (~12% geometric
+    steps, multiples of 64).
+
+    VALID and TEST compute slightly different exact candidate caps from
+    their scope degrees; bucketing them usually lands both on the same
+    value so they share ONE compiled eval program (caps are static
+    buffer sizes, so any difference means a recompile)."""
+    if n <= 64:
+        return 64
+    b = 64
+    while b < n:
+        b = -(-(b * 9 // 8) // 64) * 64
+    return b
+
+
 from typing import NamedTuple
 
 
@@ -202,6 +236,10 @@ class Trainer:
             self.logger.record_loaded_checkpoint(pm[-1],
                                                  po[-1] if po else None)
         self._epoch_fns: Dict[Tuple, Any] = {}
+        # batches per chunk program; 0 = monolithic per-(mode, nb) epoch
+        # programs (round-1 behavior, zero dispatch overhead — what the
+        # throughput benches measure)
+        self.chunk_batches = 16
         # --trace_dir: jax.profiler device trace of train epoch 1 (the
         # first post-compile epoch) — the TPU-native replacement for the
         # reference's absent timeline tracer (SURVEY §5.1)
@@ -275,10 +313,10 @@ class Trainer:
                             / max(deg.sum(), 1))
                         est_c = min(float(dcap), 3.0 * biased_c + 16.0)
                         induction = "hub"
-                        cap = int(n_pad * est_c)
+                        cap = bucket_cap(int(n_pad * est_c))
                         hslots = max(8, n_pad // 8)
                     else:
-                        induction, cap = "cand", int(n_pad * est)
+                        induction, cap = "cand", bucket_cap(int(n_pad * est))
                 cfg_mode[m] = SamplerConfig(method=method_m, induction=induction,
                                             cand_cap=cap, deg_cap=dcap,
                                             hub_slots=hslots, **common)
@@ -359,12 +397,13 @@ class Trainer:
             if h_max > 0 and self.undirected:
                 cfg_fields = dict(
                     induction="hub",
-                    cand_cap=e_max * self.num_targets + 8, deg_cap=dc,
+                    cand_cap=bucket_cap(e_max * self.num_targets + 8),
+                    deg_cap=dc,
                     hub_slots=min(h_max * self.num_targets + 2, cfg.n_pad))
             else:
                 e_rows = scope_deg.sum(1) + root_deg
                 cap = int(e_rows.max()) * self.num_targets
-                cfg_fields = dict(induction="cand", cand_cap=cap + 8)
+                cfg_fields = dict(induction="cand", cand_cap=bucket_cap(cap + 8))
             br["cfg"][mode] = _dc_mod.replace(br["cfg"][mode], **cfg_fields)
             tab = PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s))
             memo[memo_key] = (tab, cfg_fields)
@@ -589,6 +628,183 @@ class Trainer:
         return epoch_e
 
     # ------------------------------------------------------------------
+    # Chunked epoch programs (the default run_epoch path).
+    #
+    # An epoch runs as ceil(nb / C) calls of a fixed-shape CHUNK program
+    # (a lax.scan over C batches).  All per-mode, per-epoch data reaches
+    # the chunk through scan inputs whose shapes depend only on
+    # (C, batch_size, n_pad, k_tab): PPR table rows and cached subgraph
+    # rows are pre-gathered OUTSIDE the program, and the label-zeroing
+    # mode flag is traced.  Consequence: one compiled train program and
+    # ONE compiled eval program serve every mode, epoch length, and
+    # split size (the monolithic ``_make_epoch_fn`` path compiles a
+    # fresh multi-minute program per (mode, nb, train) — it remains
+    # available via ``chunk_batches = 0`` for dispatch-free benching).
+    # Calls are enqueued asynchronously; nothing syncs until the final
+    # host conversion, so the per-chunk dispatch overhead overlaps
+    # device execution.
+
+    def _branch_kinds(self, mode: int) -> tuple:
+        kinds = []
+        caches = self.caches.get(mode) or [None] * self.num_ensemble
+        for i, br in enumerate(self.branches):
+            if caches[i] is not None:
+                kinds.append("cache")
+            elif br["cfg"][mode].method in ("ppr", "ppr_st"):
+                kinds.append("table")
+            else:
+                kinds.append("plain")
+        return tuple(kinds)
+
+    def _pregather(self, mode: int, kinds: tuple, rows) -> tuple:
+        """[C, b, t] table rows -> per-branch chunk scan inputs
+        ([C, b, ...] slices; shapes never depend on the mode's entity
+        count)."""
+        out = []
+        for i in range(self.num_ensemble):
+            if kinds[i] == "cache":
+                r = rows[..., 0]
+                out.append(jax.tree_util.tree_map(
+                    lambda a: a[r], self.caches[mode][i]))
+            elif kinds[i] == "table":
+                tab = self.tables[mode][i]
+                out.append((tab.neighs[rows], tab.scores[rows]))
+            else:
+                out.append(())
+        return tuple(out)
+
+    def _chunk_fn(self, mode: int, train: bool):
+        cfgs = tuple(br["cfg"][mode] for br in self.branches)
+        kinds = self._branch_kinds(mode)
+        key = (train, cfgs, kinds)
+        if key in self._epoch_fns:
+            return self._epoch_fns[key], kinds
+        from shadow_gnn_tpu.sampling.cache import gather_batch
+        model, opt, cfg_m = self.model, self.opt, self.model_cfg
+        num_nodes = self.num_nodes
+
+        def branch_batches(graph, feat_tab, roots, rng, bxs):
+            batches, feats = [], []
+            for i, cfg in enumerate(cfgs):
+                rng, sub = jax.random.split(rng)
+                if kinds[i] == "cache":
+                    # must mirror the model's packed-path decision
+                    # (model.py:125-127)
+                    packed = (cfg_m.packed_adj and cfg.method == "ppr"
+                              and cfg_m.aggr in ("gcn", "sage", "gin")
+                              and cfg_m.compute_dtype == "float32")
+                    batch = gather_batch(bxs[i], jnp.arange(roots.shape[0]),
+                                         cfg.n_pad, num_nodes,
+                                         unpack=not packed)
+                elif kinds[i] == "table":
+                    batch = sample_subgraphs(cfg, graph, roots, rng=sub,
+                                             table_slices=bxs[i])
+                else:
+                    batch = sample_subgraphs(cfg, graph, roots, rng=sub)
+                feats.append(feat_tab[jnp.clip(batch.nodes, 0,
+                                               num_nodes - 1)])
+                batches.append(batch)
+            return batches, feats
+
+        if train:
+            def t_step(graph, feat_tab, carry, x):
+                params, opt_state, rng = carry
+                roots, labels, w, bxs = x
+                rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+                batches, feats = branch_batches(graph, feat_tab, roots,
+                                                r_samp, bxs)
+
+                def lf(p):
+                    logits, _ = model.apply(
+                        p, batches, feats, mode_train=True, train=True,
+                        rngs={"dropout": r_do, "dropedge": r_de})
+                    return weighted_loss_fn(cfg_m, logits, labels, w), logits
+
+                (loss, logits), grads = jax.value_and_grad(
+                    lf, has_aux=True)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                ovf = sum(b.overflow for b in batches)
+                return (params, opt_state, rng), (loss, predict_fn(cfg_m,
+                                                                   logits), ovf)
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def chunk(params, opt_state, rng, graph, feat_tab, xs):
+                (params, opt_state, rng), (losses, preds, ovf) = jax.lax.scan(
+                    partial(t_step, graph, feat_tab),
+                    (params, opt_state, rng), xs)
+                return params, opt_state, rng, losses, preds, ovf.sum()
+        else:
+            def e_step(params, graph, feat_tab, mode_train, rng, x):
+                roots, labels, w, bxs = x
+                rng, r_samp = jax.random.split(rng)
+                batches, feats = branch_batches(graph, feat_tab, roots,
+                                                r_samp, bxs)
+                # label-input zeroing follows the MODE (traced scalar, so
+                # final TRAIN-mode evals reuse this program); dropout
+                # follows train/eval status (models.py:182-183)
+                logits, _ = model.apply(params, batches, feats,
+                                        mode_train=mode_train, train=False)
+                loss = weighted_loss_fn(cfg_m, logits, labels, w)
+                ovf = sum(b.overflow for b in batches)
+                return rng, (loss, predict_fn(cfg_m, logits), ovf)
+
+            @jax.jit
+            def chunk(params, rng, mode_train, graph, feat_tab, xs):
+                rng, (losses, preds, ovf) = jax.lax.scan(
+                    partial(e_step, params, graph, feat_tab, mode_train),
+                    rng, xs)
+                return rng, losses, preds, ovf.sum()
+
+        self._epoch_fns[key] = chunk
+        return chunk, kinds
+
+    def _run_chunks(self, mode: int, train: bool, nb: int, roots, rows,
+                    labels_dev, w_dev, rng):
+        """Run one epoch through the chunked programs; returns host
+        (losses [nb], preds [nb, b, ...], overflow)."""
+        fn, kinds = self._chunk_fn(mode, train)
+        graph, feat_tab = self.graph[mode], self.feat_tab
+        # FIXED chunk length: a short epoch pads its single chunk with
+        # zero-weight batches rather than tracing a second chunk shape
+        # (a few wasted eval batches are orders cheaper than another
+        # multi-minute compile on this backend)
+        C = self.chunk_batches
+        n_chunks = -(-nb // C)
+        losses_l, preds_l, ovf_l = [], [], []
+        mt = jnp.asarray(mode == TRAIN)
+        for ci in range(n_chunks):
+            s, e = ci * C, min((ci + 1) * C, nb)
+            pad = C - (e - s)
+
+            def cut(a):
+                sl = a[s:e]
+                if pad:
+                    sl = jnp.concatenate(
+                        [sl, jnp.repeat(a[s:s + 1], pad, 0)], 0)
+                return sl
+
+            w_c = cut(w_dev)
+            if pad:
+                w_c = w_c.at[e - s:].set(0.0)
+            xs = (cut(roots), cut(labels_dev), w_c,
+                  self._pregather(mode, kinds, cut(rows)))
+            if train:
+                (self.params, self.opt_state, rng, lo, pr, ov) = fn(
+                    self.params, self.opt_state, rng, graph, feat_tab, xs)
+            else:
+                rng, lo, pr, ov = fn(self.params, rng, mt, graph,
+                                     feat_tab, xs)
+            losses_l.append(lo)
+            preds_l.append(pr)
+            ovf_l.append(ov)
+        # host conversion AFTER the loop: dispatches stay async
+        losses = np.concatenate([np.asarray(l) for l in losses_l])[:nb]
+        preds = np.concatenate([np.asarray(p) for p in preds_l])[:nb]
+        ovf = sum(int(o) for o in ovf_l)
+        return losses, preds, ovf
+
+    # ------------------------------------------------------------------
     def _epoch_arrays(self, mode: int):
         """Shuffled, percent-sampled, batch-padded root/row/label arrays."""
         b = self.batch_size
@@ -690,33 +906,36 @@ class Trainer:
         train = (mode == TRAIN and status == "running")
         (nb, roots, rows, labels_dev, w_dev, labels_np, w_np) = \
             self._epoch_arrays(mode)
-        key = (mode, nb, train)
-        if key not in self._epoch_fns:
-            self._epoch_fns[key] = self._make_epoch_fn(mode, nb, train)
-        fn = self._epoch_fns[key]
         rng = jax.random.PRNGKey(self.rng_np.integers(1 << 31))
-        arrays = self._mode_arrays(mode)
         do_trace = (self.trace_dir is not None and train and epoch == 1)
         if do_trace:
             jax.profiler.start_trace(self.trace_dir)
         t0 = time.time()
-        if train:
-            self.params, self.opt_state, losses, preds, ovf = fn(
-                self.params, self.opt_state, rng, roots, rows, labels_dev,
-                w_dev, arrays)
+        if self.chunk_batches > 0:
+            losses, preds, ovf = self._run_chunks(
+                mode, train, nb, roots, rows, labels_dev, w_dev, rng)
         else:
-            losses, preds, ovf = fn(self.params, rng, roots, rows, labels_dev,
-                                    w_dev, arrays)
+            key = (mode, nb, train)
+            if key not in self._epoch_fns:
+                self._epoch_fns[key] = self._make_epoch_fn(mode, nb, train)
+            fn = self._epoch_fns[key]
+            arrays = self._mode_arrays(mode)
+            if train:
+                self.params, self.opt_state, losses, preds, ovf = fn(
+                    self.params, self.opt_state, rng, roots, rows,
+                    labels_dev, w_dev, arrays)
+            else:
+                losses, preds, ovf = fn(self.params, rng, roots, rows,
+                                        labels_dev, w_dev, arrays)
+            losses, preds, ovf = np.asarray(losses), np.asarray(preds), int(ovf)
         if do_trace:
-            jax.block_until_ready(losses)
             jax.profiler.stop_trace()
             print(f"[trace] device trace of train epoch 1 written to "
                   f"{self.trace_dir}")
         if int(ovf) > 0:
             print(f"[WARN] induction candidate overflow: {int(ovf)} edges "
                   f"dropped this epoch (raise cand_cap)")
-        losses = np.asarray(losses)
-        preds = np.asarray(preds).reshape(-1, preds.shape[-1])
+        preds = preds.reshape(-1, preds.shape[-1])
         t1 = time.time()
         # metrics on host over valid rows; TRAIN metrics optionally use
         # only every Nth batch (reference PERIOD_LOG subsampling)
@@ -765,12 +984,9 @@ class Trainer:
             self._ensure_tables(md)
             (nb, roots, rows, labels_dev, w_dev, labels_np, w_np) = \
                 self._epoch_arrays(md)
-            key = (md, nb, False)
-            if key not in self._epoch_fns:
-                self._epoch_fns[key] = self._make_epoch_fn(md, nb, False)
-            losses, preds, _ovf = self._epoch_fns[key](
-                self.params, jax.random.PRNGKey(0), roots, rows, labels_dev,
-                w_dev, self._mode_arrays(md))
+            _losses, preds, _ovf = self._run_chunks(
+                md, False, nb, roots, rows, labels_dev, w_dev,
+                jax.random.PRNGKey(0))
             preds = np.asarray(preds).reshape(-1, self.num_classes)
             r = np.asarray(roots).reshape(-1, self.num_targets)[:, 0]
             valid = w_np > 0

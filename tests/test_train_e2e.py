@@ -656,22 +656,29 @@ def test_final_train_eval_zeroes_labels(tmp_path):
     tr = make_trainer(tmp_path, cfg)
     assert tr.dim_label_smooth > 0
 
-    class Spy:
-        def __init__(self, inner):
-            self.inner, self.calls = inner, []
+    # ``mode_train`` is TRACED into the (shared) eval chunk program, so
+    # spy at the dispatch boundary where it is a concrete device scalar
+    orig = tr._chunk_fn
+    seen = []
 
-        def apply(self, *a, **kw):
-            self.calls.append(kw.get("mode_train"))
-            return self.inner.apply(*a, **kw)
+    def spy_chunk(mode, train):
+        fn, kinds = orig(mode, train)
+        if train:
+            return fn, kinds
 
-    tr.model = Spy(tr.model)
+        def wrapper(params, rng, mt, graph, feat_tab, xs):
+            seen.append(bool(mt))
+            return fn(params, rng, mt, graph, feat_tab, xs)
+        return wrapper, kinds
+
+    tr._chunk_fn = spy_chunk
     tr.run_epoch(0, TRAIN, status="final")
-    assert any(tr.model.calls), \
+    assert seen and all(seen), \
         "final TRAIN eval must run with mode_train=True (label zeroing)"
-    tr.model = tr.model.inner
-    tr._epoch_fns.clear()
-    tr.model2 = None
+    seen.clear()
     # and a VALID final pass must NOT zero (mode != TRAIN)
-    tr.model = Spy(tr.model)
     tr.run_epoch(0, VALID, status="final")
-    assert not any(tr.model.calls)
+    assert seen and not any(seen)
+    # the traced flag means BOTH passes hit the same compiled program
+    eval_fns = [k for k in tr._epoch_fns if k[0] is False]
+    assert len(eval_fns) == 1
