@@ -6,18 +6,21 @@ of program size (the round-1 epoch program is ~3k HLO ops yet takes
 (mode, batch-count, train) — paid 4+ fresh compiles per run:
 train-TRAIN, eval-VALID, eval-TRAIN(final), eval-TEST(final).
 
-The chunked epoch path (`train/pipeline.py:_chunk_fn`) collapses these
+The chunked EVAL path (`train/pipeline.py:_chunk_fn`) collapses these
 to TWO: per-mode table/cache rows are pre-gathered outside the program
 (shapes stop depending on the mode's entity count), induction caps are
-bucketed so VALID/TEST agree, the label-zeroing mode flag is traced,
-and the epoch runs as ceil(nb/C) async calls of one fixed-shape chunk.
+bucketed so VALID/TEST agree, and the label-zeroing mode flag is
+traced, so ONE eval chunk program serves all three eval passes; TRAIN
+keeps its monolithic scan program (chunk dispatch round-trips through
+the axon tunnel measured ~7ms each — a fully-chunked train epoch was
+8x slower sustained, which is why chunking applies to eval only).
 
 This script measures both variants on identical workloads with a FRESH
 compilation cache (fresh tmpdir per variant), capturing per-program
 compile seconds from jax's compile logs, and reports:
   * wall-clock of trainer.train() (2 epochs + final evals),
   * number of >1s XLA compiles and their total seconds,
-  * sustained train-epoch time (dispatch overhead check for chunking).
+  * sustained train-epoch time (must match between variants).
 
 Usage:  python scripts/compile_bench.py [--nodes 30000] [--variant both]
 """

@@ -94,7 +94,8 @@ def parse_trace(trace_dir: str, top: int = 12):
             "top_ops_us": {k: round(v, 0) for k, v in ranked}}
 
 
-def run(preset: str, n_roots: int, trace: bool, graph_nodes: int) -> dict:
+def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
+        compute_dtype: str = "float32") -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -132,7 +133,7 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int) -> dict:
     t0 = time.time()
     tr = Trainer(f"gatbench_{preset}", cache_dir, g, parsed, metrics,
                  logger, seed=0, use_device_ppr=False, prng_impl="rbg",
-                 matmul_precision="bfloat16")
+                 matmul_precision="bfloat16", compute_dtype=compute_dtype)
     tr._ensure_tables(TRAIN)
     tr._ensure_caches(TRAIN)
     t_init = time.time() - t0
@@ -162,9 +163,10 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int) -> dict:
     step_flops = 3.0 * fwd_flops      # bwd ~ 2x fwd (both matmul operands)
     # HBM floor per step: adjacency block + the [B,N,N,H] score tensor
     # (written fwd, re-read + grad-written bwd) + layer activations
+    sb = 2.0 if compute_dtype == "bfloat16" else 4.0
     step_bytes = (4.0 * B * N * N            # adj f32
-                  + 4 * 4.0 * B * N * N * H  # scores fwd+bwd
-                  + 4 * 4.0 * B * N * f * L)  # activations fwd+bwd
+                  + 4 * sb * B * N * N * H   # scores fwd+bwd
+                  + 4 * sb * B * N * f * L)  # activations fwd+bwd
 
     t0 = time.time()
     pp, o, losses, preds, ovf = fn(pp, o, rng, roots, rows, labels, w, arrays)
@@ -233,12 +235,15 @@ def main():
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--roots", type=int, default=4096)
     ap.add_argument("--graph_nodes", type=int, default=250_000)
+    ap.add_argument("--compute_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
         jax.config.update("jax_platforms", args.platform)
-    out = [run(pre, args.roots, args.trace, args.graph_nodes)
+    out = [run(pre, args.roots, args.trace, args.graph_nodes,
+               args.compute_dtype)
            for pre in args.preset]
     print(json.dumps(out, indent=1))
 

@@ -45,10 +45,11 @@ def build_argparser():
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (cpu for debugging)")
     p.add_argument("--chunk_batches", type=int, default=16,
-                   help="batches per compiled chunk program (0 = one "
-                        "monolithic program per (mode, batch-count); the "
-                        "default chunked path compiles 2 programs per run "
-                        "instead of 4+)")
+                   help="batches per compiled EVAL chunk program; one "
+                        "shared program serves VALID/TEST/final-TRAIN "
+                        "passes (2 compiles per run instead of 4+). "
+                        "0 = monolithic per-(mode, batch-count) eval "
+                        "programs (round-1 behavior)")
     p.add_argument("--device_ppr", type=str, default="auto",
                    choices=["auto", "device", "host"],
                    help="PPR precompute backend")

@@ -236,9 +236,14 @@ class Trainer:
             self.logger.record_loaded_checkpoint(pm[-1],
                                                  po[-1] if po else None)
         self._epoch_fns: Dict[Tuple, Any] = {}
-        # batches per chunk program; 0 = monolithic per-(mode, nb) epoch
-        # programs (round-1 behavior, zero dispatch overhead — what the
-        # throughput benches measure)
+        # batches per EVAL chunk program; 0 = monolithic per-(mode, nb)
+        # epoch programs for eval too.  TRAIN always runs the monolithic
+        # scan program: measured on the axon tunnel backend, per-chunk
+        # dispatch round-trips cost ~7ms each (8x sustained train
+        # slowdown), while eval passes are a few percent of runtime.
+        # Chunking eval collapses the eval compiles (VALID/TEST/final
+        # TRAIN-mode, 3 of the 4 programs per run) into ONE shared
+        # program; see scripts/compile_bench.py for the measurement.
         self.chunk_batches = 16
         # --trace_dir: jax.profiler device trace of train epoch 1 (the
         # first post-compile epoch) — the TPU-native replacement for the
@@ -628,21 +633,22 @@ class Trainer:
         return epoch_e
 
     # ------------------------------------------------------------------
-    # Chunked epoch programs (the default run_epoch path).
+    # Chunked epoch programs (the default path for EVAL passes).
     #
     # An epoch runs as ceil(nb / C) calls of a fixed-shape CHUNK program
     # (a lax.scan over C batches).  All per-mode, per-epoch data reaches
     # the chunk through scan inputs whose shapes depend only on
     # (C, batch_size, n_pad, k_tab): PPR table rows and cached subgraph
     # rows are pre-gathered OUTSIDE the program, and the label-zeroing
-    # mode flag is traced.  Consequence: one compiled train program and
-    # ONE compiled eval program serve every mode, epoch length, and
-    # split size (the monolithic ``_make_epoch_fn`` path compiles a
-    # fresh multi-minute program per (mode, nb, train) — it remains
-    # available via ``chunk_batches = 0`` for dispatch-free benching).
-    # Calls are enqueued asynchronously; nothing syncs until the final
-    # host conversion, so the per-chunk dispatch overhead overlaps
-    # device execution.
+    # mode flag is traced.  Consequence: ONE compiled eval program
+    # serves every mode, epoch length, and split size — VALID, TEST and
+    # the final TRAIN-mode pass were 3 of the 4 fresh compiles per run
+    # under the monolithic design.  TRAIN keeps the monolithic scan
+    # program: per-chunk dispatch round-trips through the axon tunnel
+    # measured ~7ms each (8x sustained train slowdown; on a local TPU
+    # runtime with ~µs dispatch the chunked train path below would be
+    # viable, and remains tested).  Calls are enqueued asynchronously;
+    # nothing syncs until the final host conversion.
 
     def _branch_kinds(self, mode: int) -> tuple:
         kinds = []
@@ -911,7 +917,7 @@ class Trainer:
         if do_trace:
             jax.profiler.start_trace(self.trace_dir)
         t0 = time.time()
-        if self.chunk_batches > 0:
+        if self.chunk_batches > 0 and not train:
             losses, preds, ovf = self._run_chunks(
                 mode, train, nb, roots, rows, labels_dev, w_dev, rng)
         else:

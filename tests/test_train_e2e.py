@@ -48,6 +48,32 @@ def make_trainer(tmp_path, cfg_dict, seed=0, **ds_kw):
                    seed=seed, use_device_ppr=False)
 
 
+def test_chunked_train_path(tmp_path):
+    """The chunked TRAIN program (off by default on the tunnel backend,
+    viable on local runtimes) updates params and matches the monolithic
+    path's learning behavior."""
+    tr = make_trainer(tmp_path, BASE_CONFIG)
+    tr._ensure_tables(TRAIN)
+    tr._ensure_caches(TRAIN)
+    nb, roots, rows, labels_dev, w_dev, _labels_np, _w_np = \
+        tr._epoch_arrays(TRAIN)
+    import jax
+    p_before = jax.device_get(tr.params)
+    losses, preds, ovf = tr._run_chunks(TRAIN, True, nb, roots, rows,
+                                        labels_dev, w_dev,
+                                        jax.random.PRNGKey(0))
+    assert np.isfinite(losses).all() and ovf == 0
+    p_after = jax.device_get(tr.params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), p_before, p_after)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+    # a couple of chunked epochs reduce the loss
+    for _ in range(2):
+        l2, _, _ = tr._run_chunks(TRAIN, True, nb, roots, rows, labels_dev,
+                                  w_dev, jax.random.PRNGKey(1))
+    assert l2.mean() < losses.mean()
+
+
 def test_training_learns(tmp_path):
     tr = make_trainer(tmp_path, BASE_CONFIG)
     tr.train()
