@@ -95,7 +95,7 @@ def parse_trace(trace_dir: str, top: int = 12):
 
 
 def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
-        compute_dtype: str = "float32") -> dict:
+        compute_dtype: str = "float32", fused: bool = False) -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -133,7 +133,8 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
     t0 = time.time()
     tr = Trainer(f"gatbench_{preset}", cache_dir, g, parsed, metrics,
                  logger, seed=0, use_device_ppr=False, prng_impl="rbg",
-                 matmul_precision="bfloat16", compute_dtype=compute_dtype)
+                 matmul_precision="bfloat16", compute_dtype=compute_dtype,
+                 fused_gat=fused)
     tr._ensure_tables(TRAIN)
     tr._ensure_caches(TRAIN)
     t_init = time.time() - t0
@@ -206,6 +207,7 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
 
     out = {
         "preset": preset,
+        "fused_gat": fused,
         "n_pad": int(scfg.n_pad),
         "batch_size": p["batch_size"],
         "steps_per_epoch": int(nb),
@@ -237,13 +239,17 @@ def main():
     ap.add_argument("--graph_nodes", type=int, default=250_000)
     ap.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--fused", action="store_true",
+                    help="fused Pallas masked-attention kernel "
+                         "(ops/pallas_gat.py) instead of the dense "
+                         "[B,N,N,H] score chain")
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
         jax.config.update("jax_platforms", args.platform)
     out = [run(pre, args.roots, args.trace, args.graph_nodes,
-               args.compute_dtype)
+               args.compute_dtype, args.fused)
            for pre in args.preset]
     print(json.dumps(out, indent=1))
 

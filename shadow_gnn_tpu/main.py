@@ -65,6 +65,10 @@ def build_argparser():
     p.add_argument("--packed_adj", action="store_true",
                    help="fused Pallas aggregation over the bit-packed "
                         "subgraph cache (gcn/sage/gin)")
+    p.add_argument("--fused_gat", action="store_true",
+                   help="fused Pallas masked-attention kernel for "
+                        "gat/gatscat (keeps the [B,N,N,H] score chain "
+                        "in VMEM)")
     p.add_argument("--meta_config", type=str, default=None,
                    help="machine meta-config yml (reference CONFIG.yml "
                         "schema: data/logging dirs, per-dataset metric)")
@@ -175,6 +179,7 @@ def main(argv=None):
                       use_device_ppr=use_device_ppr,
                       matmul_precision=args.matmul_precision,
                       packed_adj=args.packed_adj,
+                      fused_gat=args.fused_gat,
                       compute_dtype=args.compute_dtype,
                       prng_impl=args.prng)
     trainer.trace_dir = args.trace_dir

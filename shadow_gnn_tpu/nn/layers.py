@@ -30,6 +30,28 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def _fused_attention(att_self, att_neigh, values, adj_norm, adj_struct):
+    """Dispatch GAT attention to the fused Pallas kernel.
+
+    att_self / att_neigh: [B, N, H];  values: [B, N, H, dh];
+    adjacencies: [B, N, N].  Returns the aggregated [B, N, H, dh] f32
+    block (denominator division included) — numerics-equal to the dense
+    chain (tests/test_pallas_gat.py).  MXU dots run bf16 when either
+    the session's matmul precision asks for it or the activations are
+    already bf16 (the same trade the XLA path makes).
+    """
+    from shadow_gnn_tpu.ops.pallas_gat import gat_attention
+    bf16 = (jax.config.jax_default_matmul_precision
+            in ("bfloat16", "tensorfloat32")
+            or values.dtype == jnp.bfloat16)
+    vals = values if bf16 else values.astype(jnp.float32)
+    return gat_attention(
+        jnp.transpose(att_self, (0, 2, 1)).astype(jnp.float32),
+        jnp.transpose(att_neigh, (0, 2, 1)).astype(jnp.float32),
+        vals, adj_norm.astype(jnp.float32), adj_struct.astype(jnp.float32),
+        bf16)
+
+
 def torch_linear_init(key, shape, dtype=jnp.float32):
     """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch nn.Linear default."""
     fan_in = shape[0] if len(shape) == 2 else shape[-1]
@@ -133,6 +155,9 @@ class _ConvBase(nn.Module):
     act: str = "relu"
     norm: str = "norm_feat"
     mulhead: int = 1
+    # GAT only: fused Pallas masked-attention kernel (ops/pallas_gat.py)
+    # instead of the dense [B,N,N,H] score chain
+    fused_att: bool = False
 
     def _norm_params(self, shape):
         scale = self.param("scale", nn.initializers.ones, shape)
@@ -221,18 +246,23 @@ class GATConv(_ConvBase):
             jnp.einsum("bnhd,hd->bnh", h_self, att[0]), 0.2)
         att_neigh = jax.nn.leaky_relu(
             jnp.einsum("bnhd,hd->bnh", h_neigh, att[1]), 0.2)
-        # S[b,i,j,h] over structural edges
-        s = att_self[:, :, None, :] + att_neigh[:, None, :, :]
-        struct = adj_struct[..., None] > 0
-        s_masked = jnp.where(struct, s, -jnp.inf)
-        row_max = jnp.max(s_masked, axis=2, keepdims=True)      # [b,i,1,h]
-        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-        # exponentiate the MASKED scores: exp(-inf)=0 keeps non-edges
-        # exactly zero even when an off-edge score exceeds row_max
-        # (unmasked exp could overflow to inf and yield inf*0 = NaN)
-        e = jnp.exp(s_masked - row_max) * adj_norm[..., None]   # dropedge via values
-        denom = jnp.clip(e.sum(2), 1e-10, None)                 # [b,i,h]
-        aggr = jnp.einsum("bijh,bjhd->bihd", e, h_neigh) / denom[..., None]
+        if self.fused_att:
+            aggr = _fused_attention(att_self, att_neigh, h_neigh,
+                                    adj_norm, adj_struct).astype(x.dtype)
+        else:
+            # S[b,i,j,h] over structural edges
+            s = att_self[:, :, None, :] + att_neigh[:, None, :, :]
+            struct = adj_struct[..., None] > 0
+            s_masked = jnp.where(struct, s, -jnp.inf)
+            row_max = jnp.max(s_masked, axis=2, keepdims=True)  # [b,i,1,h]
+            row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+            # exponentiate the MASKED scores: exp(-inf)=0 keeps non-edges
+            # exactly zero even when an off-edge score exceeds row_max
+            # (unmasked exp could overflow to inf and yield inf*0 = NaN)
+            e = jnp.exp(s_masked - row_max) * adj_norm[..., None]
+            denom = jnp.clip(e.sum(2), 1e-10, None)             # [b,i,h]
+            aggr = jnp.einsum("bijh,bjhd->bihd", e,
+                              h_neigh) / denom[..., None]
         scale, offset = self._norm_params((2, h, dh))
         if self.norm == "pairnorm":
             aggr = pairnorm(aggr.reshape(b, n, -1), node_mask).reshape(
@@ -270,15 +300,21 @@ class GATScatterConv(_ConvBase):
         att = self.param("attention", xavier_normal_gain, (1, h, dh))
         feat_src = (x @ w_src + b_src).reshape(b, n, h, dh)
         el = jax.nn.leaky_relu(jnp.einsum("bnhd,ohd->bnh", feat_src, att), 0.2)
-        # score of edge (i, j) depends only on source j (reference :727-729)
-        s = jnp.broadcast_to(el[:, None, :, :], (b, n, n, h))
-        struct = adj_struct[..., None] > 0
-        s_masked = jnp.where(struct, s, -jnp.inf)
-        row_max = jnp.max(s_masked, axis=2, keepdims=True)
-        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-        e = jnp.exp(s_masked - row_max) * adj_norm[..., None]
-        denom = jnp.clip(e.sum(2), 1e-10, None)
-        aggr = jnp.einsum("bijh,bjhd->bihd", e, feat_src) / denom[..., None]
+        if self.fused_att:
+            # score of edge (i, j) depends only on source j: att_self = 0
+            aggr = _fused_attention(jnp.zeros_like(el), el, feat_src,
+                                    adj_norm, adj_struct).astype(x.dtype)
+        else:
+            # (reference :727-729)
+            s = jnp.broadcast_to(el[:, None, :, :], (b, n, n, h))
+            struct = adj_struct[..., None] > 0
+            s_masked = jnp.where(struct, s, -jnp.inf)
+            row_max = jnp.max(s_masked, axis=2, keepdims=True)
+            row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+            e = jnp.exp(s_masked - row_max) * adj_norm[..., None]
+            denom = jnp.clip(e.sum(2), 1e-10, None)
+            aggr = jnp.einsum("bijh,bjhd->bihd", e,
+                              feat_src) / denom[..., None]
         feat_self = x @ w_dst + b_dst
         out = f(aggr.reshape(b, n, -1) + feat_self)
         scale, offset = self._norm_params((self.dim_out,))

@@ -51,6 +51,9 @@ class ModelConfig:
     dropedge: float = 0.0
     # fused Pallas aggregation over bit-packed cached adjacency (TPU)
     packed_adj: bool = False
+    # fused Pallas masked-attention kernel for GAT (ops/pallas_gat.py):
+    # the [B,N,N,H] score chain stays in VMEM instead of HBM
+    fused_gat: bool = False
     # activation dtype: 'float32' | 'bfloat16' (params/logits stay f32)
     compute_dtype: str = "float32"
 
@@ -163,6 +166,7 @@ class DeepGNN(nn.Module):
                     conv_defs.append(layer_cls(
                         dim_out=cfg.dim, dropout=cfg.dropout, act=cfg.act,
                         norm=cfg.layer_norm, mulhead=cfg.mulhead,
+                        fused_att=cfg.fused_gat,
                         name=f"conv_{i}_{l}"))
             for conv in conv_defs:
                 x = conv(x, adj_norm, adj_struct, batch.node_mask, train=train)

@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: fused masked GAT attention over subgraph blocks.
+
+The XLA GAT path (nn/layers.py:GATConv) materializes several
+``[B, N, N, H]`` f32 score tensors in HBM (raw scores, masked scores,
+exp terms) — ~170 MB each at the papers100M leaderboard shape
+(B=64, N=408, H=4) — and the measured step is bandwidth-bound on that
+traffic (BENCH.md: 2.7-5.8% MFU, top trace ops are elementwise
+fusions over the score chains).
+
+This kernel exploits the shaDow property that subgraph blocks are
+SMALL (N <= ~512): one (batch, head) attention problem fits entirely
+in VMEM.  Per grid step it computes
+
+    S[i,j]  = att_self[i] + att_neigh[j]            (scores)
+    S_m     = where(adj_struct > 0, S, -inf)        (structural mask)
+    e       = exp(S_m - rowmax(S_m)) * adj_norm     (dropedge via values)
+    out[i]  = (e @ v)[i] / clip(sum_j e[i,j], 1e-10)
+
+with every [N, N] intermediate living in registers/VMEM — only the
+adjacency blocks (fetched ONCE per batch element: the head axis is the
+fastest grid dimension and their index map is head-invariant, so the
+Pallas pipeline skips the re-copy), the per-head value block and the
+output round-trip HBM.  Score-tensor HBM traffic drops from
+O(B*N*N*H) x several passes to zero.
+
+Semantics are bit-compatible with the dense chain in
+``nn/layers.py:GATConv.__call__`` (reference shaDow/layers.py:539-645):
+same masking, same finite-guarded row max, same 1e-10 denominator
+clip, same post-aggregation division.  ``GATScatterConv``
+(layers.py:648-744 semantics: edge score depends only on the source)
+reuses the kernel with ``att_self = 0``.
+
+Backward: custom VJP, flash-attention style — recompute e from the
+saved inputs (two [N,N]x[N,dh] MXU dots per grid step):
+
+    de[i,j]     = (g[i].v[j] - g[i].out[i]) / D[i]
+    ds          = e * de          (rowsum(ds) == 0, so the gradient
+                                   through the row max vanishes exactly)
+    d att_self  = rowsum(ds)      d att_neigh = colsum(ds)
+    d v         = P^T @ g         (P = e / D)
+
+Gradients flow to att_self / att_neigh / values; the adjacency blocks
+are data (zero cotangents, DCE'd by XLA).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scores(a_s, a_n, adjs, adjn):
+    """Shared fwd/bwd score math for one (batch, head) block.
+
+    a_s, a_n: [1, N] f32;  adjs, adjn: [N, N] f32.
+    Returns (e [N, N], denom [N, 1])."""
+    s = jnp.transpose(a_s) + a_n                       # [N, 1] + [1, N]
+    s_m = jnp.where(adjs > 0.0, s, -jnp.inf)
+    rm = jnp.max(s_m, axis=1, keepdims=True)           # [N, 1]
+    rm = jnp.where(jnp.isfinite(rm), rm, 0.0)
+    e = jnp.exp(s_m - rm) * adjn                       # exp(-inf) = 0
+    dn = jnp.clip(jnp.sum(e, axis=1, keepdims=True), 1e-10, None)
+    return e, dn
+
+
+def _fwd_kernel(a_s_ref, a_n_ref, v_ref, adjn_ref, adjs_ref, out_ref, *,
+                bf16):
+    e, dn = _scores(a_s_ref[0], a_n_ref[0], adjs_ref[0], adjn_ref[0])
+    v = v_ref[0, :, 0, :]
+    if bf16:
+        e, v = e.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    out = jnp.dot(e, v, preferred_element_type=jnp.float32)
+    out_ref[0, :, 0, :] = out / dn
+
+
+def _bwd_kernel(a_s_ref, a_n_ref, v_ref, adjn_ref, adjs_ref, out_ref, g_ref,
+                das_ref, dan_ref, dv_ref, *, bf16):
+    e, dn = _scores(a_s_ref[0], a_n_ref[0], adjs_ref[0], adjn_ref[0])
+    p = e / dn                                         # [N, N]
+    v = v_ref[0, :, 0, :]
+    g = g_ref[0, :, 0, :]
+    o = out_ref[0, :, 0, :]
+    if bf16:
+        pd, gd, vd = (p.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+                      v.astype(jnp.bfloat16))
+    else:
+        pd, gd, vd = p, g, v
+    # dv[j] = sum_i P[i,j] g[i]  — contract dim 0 (P^T @ g)
+    dv = jax.lax.dot_general(pd, gd, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # gv[i,j] = g[i] . v[j]  — contract the feature dims
+    gv = jax.lax.dot_general(gd, vd, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    r = jnp.sum(g * o, axis=1, keepdims=True)          # [N, 1]
+    ds = p * (gv - r)                                  # [N, N]
+    das_ref[0] = jnp.transpose(jnp.sum(ds, axis=1, keepdims=True))
+    dan_ref[0] = jnp.sum(ds, axis=0, keepdims=True)
+    dv_ref[0, :, 0, :] = dv
+
+
+def _specs(b, h, n, dh):
+    att = pl.BlockSpec((1, 1, n), lambda i, j: (i, j, 0))
+    val = pl.BlockSpec((1, n, 1, dh), lambda i, j: (i, 0, j, 0))
+    adj = pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0))
+    return att, val, adj
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gat_attention(att_self: jax.Array, att_neigh: jax.Array,
+                  values: jax.Array, adj_norm: jax.Array,
+                  adj_struct: jax.Array, bf16: bool = False) -> jax.Array:
+    """Fused masked-softmax attention aggregation.
+
+    att_self, att_neigh: [B, H, N] f32 per-node score terms
+    values:              [B, N, H, dh] (f32, or bf16 with ``bf16=True``)
+    adj_norm:            [B, N, N] f32 dropedge-zeroed 0/1 adjacency
+    adj_struct:          [B, N, N] f32 structural 0/1 adjacency
+    Returns the aggregated [B, N, H, dh] f32 block (division by the
+    clipped denominator included).  ``bf16`` runs the MXU dots in
+    single-pass bf16 with f32 accumulation (the same trade as
+    ``--matmul_precision bfloat16`` on the XLA path); scores and the
+    softmax stay f32 either way.
+    """
+    b, h, n = att_self.shape
+    dh = values.shape[-1]
+    att, val, adj = _specs(b, h, n, dh)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, bf16=bf16),
+        grid=(b, h),
+        in_specs=[att, att, val, adj, adj],
+        out_specs=val,
+        out_shape=jax.ShapeDtypeStruct((b, n, h, dh), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * n * n * dh,
+            bytes_accessed=b * (2 * n * n + 2 * h * n * dh + 2 * h * n) * 4,
+            transcendentals=b * h * n * n),
+    )(att_self, att_neigh, values, adj_norm, adj_struct)
+
+
+def _fwd(att_self, att_neigh, values, adj_norm, adj_struct, bf16):
+    out = gat_attention(att_self, att_neigh, values, adj_norm, adj_struct,
+                        bf16)
+    return out, (att_self, att_neigh, values, adj_norm, adj_struct, out)
+
+
+def _bwd(bf16, res, g):
+    att_self, att_neigh, values, adj_norm, adj_struct, out = res
+    b, h, n = att_self.shape
+    dh = values.shape[-1]
+    att, val, adj = _specs(b, h, n, dh)
+    das, dan, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, bf16=bf16),
+        grid=(b, h),
+        in_specs=[att, att, val, adj, adj, val, val],
+        out_specs=(att, att, val),
+        out_shape=(jax.ShapeDtypeStruct((b, h, n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, n, h, dh), jnp.float32)),
+        interpret=jax.default_backend() == "cpu",
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * dh,
+            bytes_accessed=b * (2 * n * n + 4 * h * n * dh + 4 * h * n) * 4,
+            transcendentals=b * h * n * n),
+    )(att_self, att_neigh, values, adj_norm, adj_struct, out,
+      g.astype(jnp.float32))
+    dv = dv.astype(values.dtype)
+    return das, dan, dv, jnp.zeros_like(adj_norm), jnp.zeros_like(adj_struct)
+
+
+gat_attention.defvjp(_fwd, _bwd)
+
+
+def gat_attention_reference(att_self, att_neigh, values, adj_norm,
+                            adj_struct):
+    """Dense XLA chain (the exact nn/layers.py math) for testing.
+
+    Same layouts as ``gat_attention``; returns [B, N, H, dh] f32."""
+    a_s = jnp.transpose(att_self, (0, 2, 1))           # [B, N, H]
+    a_n = jnp.transpose(att_neigh, (0, 2, 1))
+    s = a_s[:, :, None, :] + a_n[:, None, :, :]        # [B, N, N, H]
+    struct = adj_struct[..., None] > 0
+    s_m = jnp.where(struct, s, -jnp.inf)
+    rm = jnp.max(s_m, axis=2, keepdims=True)
+    rm = jnp.where(jnp.isfinite(rm), rm, 0.0)
+    e = jnp.exp(s_m - rm) * adj_norm[..., None]
+    dn = jnp.clip(e.sum(2), 1e-10, None)
+    aggr = jnp.einsum("bijh,bjhd->bihd", e,
+                      values.astype(jnp.float32)) / dn[..., None]
+    return aggr

@@ -109,7 +109,7 @@ class Trainer:
                  seed: int = 0, use_device_ppr: Optional[bool] = None,
                  matmul_precision: Optional[str] = None,
                  packed_adj: bool = False, compute_dtype: str = "float32",
-                 prng_impl: Optional[str] = None):
+                 prng_impl: Optional[str] = None, fused_gat: bool = False):
         if prng_impl:
             # counter-based RBG instead of threefry for dropout/dropedge
             # mask generation: measured 31.4k -> 43.5k subgraphs/s on the
@@ -215,6 +215,7 @@ class Trainer:
             dropout=float(self.params_train["dropout"]),
             dropedge=float(self.params_train.get("dropedge", 0.0)),
             packed_adj=packed_adj,
+            fused_gat=fused_gat,
             compute_dtype=compute_dtype,
         )
         self.model = DeepGNN(self.model_cfg)

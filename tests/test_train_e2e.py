@@ -336,6 +336,73 @@ def test_packed_adj_path_matches_dense(tmp_path):
     np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_gat_trainer_matches_dense(tmp_path):
+    """--fused_gat (Pallas masked attention, interpret mode on CPU) gives
+    the same eval predictions as the dense score chain, same weights."""
+    cfg = {**BASE_CONFIG,
+           "architecture": {**BASE_CONFIG["architecture"], "aggr": "gat",
+                            "heads": 2},
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 1,
+                              "dropout": 0.0, "dropedge": 0.0}}
+    tr_dense = make_trainer(tmp_path / "a", cfg)
+    from shadow_gnn_tpu.train.pipeline import Trainer
+    from shadow_gnn_tpu.data import make_synthetic_dataset
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    g = make_synthetic_dataset(num_nodes=600, avg_deg=8, num_feat=16,
+                               num_classes=5, seed=3)
+    parsed = parse_config(cfg)
+    m = Metrics("toy", False, "accuracy", 1)
+    tr_fused = Trainer("toy", str(tmp_path / "b"), g, parsed, m,
+                       Logger(m, str(tmp_path / "b" / "log"), no_log=True),
+                       seed=0, use_device_ppr=False, fused_gat=True)
+    tr_fused.params = tr_dense.params           # same weights
+    p1 = tr_dense.predict_full(modes=(TEST,))
+    p2 = tr_fused.predict_full(modes=(TEST,))
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
+
+
+def test_meta_config_pluggable_logger(tmp_path):
+    """CONFIG.yml logging.logger.name plugs a custom logger class into
+    the driver (reference globals.py:29-34 dynamic logger import)."""
+    import yaml
+    g = make_synthetic_dataset(num_nodes=300, avg_deg=6, num_feat=8,
+                               num_classes=4, seed=1)
+    save_shadow_format(str(tmp_path / "data"), "toy", indptr=g.indptr_full,
+                       indices=g.indices_full, feat=g.feat_full,
+                       label=g.label_full, node_set=g.node_set)
+    cfg = {**BASE_CONFIG,
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 1}}
+    with open(tmp_path / "toy.yml", "w") as f:
+        yaml.dump(cfg, f)
+    marker = tmp_path / "plug_marker.txt"
+    (tmp_path / "myplug.py").write_text(
+        "from shadow_gnn_tpu.train.logger import Logger\n\n\n"
+        "class MarkerLogger(Logger):\n"
+        "    def __init__(self, *a, **kw):\n"
+        f"        open({str(marker)!r}, 'w').write('plugged')\n"
+        "        super().__init__(*a, **kw)\n")
+    meta = {"data": {"metric": {"toy": "accuracy"}},
+            "logging": {"logger": {"name": "myplug:MarkerLogger"}}}
+    with open(tmp_path / "CONFIG.yml", "w") as f:
+        yaml.dump(meta, f)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=str(tmp_path) + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "-m", "shadow_gnn_tpu.main",
+         "--configs", str(tmp_path / "toy.yml"), "--dataset", "toy",
+         "--data_dir", str(tmp_path / "data"),
+         "--log_dir", str(tmp_path / "logs"), "--seed", "1",
+         "--platform", "cpu", "--device_ppr", "host",
+         "--meta_config", str(tmp_path / "CONFIG.yml")],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "FINAL SUMMARY:" in r.stdout
+    assert marker.read_text() == "plugged"
+
+
 def test_full_sampler_mlp_training(tmp_path):
     """'full' train sampler with an adjacency-free model (sgc-style)."""
     cfg = {**BASE_CONFIG,
