@@ -95,7 +95,8 @@ def parse_trace(trace_dir: str, top: int = 12):
 
 
 def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
-        compute_dtype: str = "float32", fused: bool = False) -> dict:
+        compute_dtype: str = "float32", fused: bool = False,
+        aggr: str = "gat", packed_adj: bool = False) -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -115,7 +116,7 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
     cfg = {
         "data": {"transductive": True},
         "architecture": {
-            "dim": p["dim"], "aggr": "gat", "heads": p["heads"],
+            "dim": p["dim"], "aggr": aggr, "heads": p["heads"],
             "loss": "softmax", "num_layers": p["num_layers"], "act": "prelu",
             "feature_augment": p["aug"], "residue": "max", "pooling": "max",
         },
@@ -134,7 +135,7 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
     tr = Trainer(f"gatbench_{preset}", cache_dir, g, parsed, metrics,
                  logger, seed=0, use_device_ppr=False, prng_impl="rbg",
                  matmul_precision="bfloat16", compute_dtype=compute_dtype,
-                 fused_gat=fused)
+                 fused_gat=fused, packed_adj=packed_adj)
     tr._ensure_tables(TRAIN)
     tr._ensure_caches(TRAIN)
     t_init = time.time() - t0
@@ -157,16 +158,23 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
     feat_dim = tr.dim_feat_smooth + tr.dim_label_smooth
     fwd_flops, f_in = 0.0, feat_dim
     for _l in range(L):
-        fwd_flops += 2.0 * B * N * f_in * f        # per-head transforms
-        fwd_flops += 2.0 * B * N * N * f           # attention-weighted agg
+        if aggr == "gat":
+            fwd_flops += 2.0 * B * N * f_in * f    # per-head transforms
+            fwd_flops += 2.0 * B * N * N * f       # attention-weighted agg
+        else:
+            # sage-style: self + neigh transforms, then adj @ x
+            fwd_flops += 2.0 * 2.0 * B * N * f_in * f
+            fwd_flops += 2.0 * B * N * N * f_in
         f_in = f
     fwd_flops += 2.0 * B * f * tr.num_classes
     step_flops = 3.0 * fwd_flops      # bwd ~ 2x fwd (both matmul operands)
-    # HBM floor per step: adjacency block + the [B,N,N,H] score tensor
-    # (written fwd, re-read + grad-written bwd) + layer activations
+    # HBM floor per step: adjacency block + (GAT) the [B,N,N,H] score
+    # tensor (written fwd, re-read + grad-written bwd) + layer activations
     sb = 2.0 if compute_dtype == "bfloat16" else 4.0
+    score_bytes = 4 * sb * B * N * N * H if aggr == "gat" and not fused \
+        else 0.0
     step_bytes = (4.0 * B * N * N            # adj f32
-                  + 4 * sb * B * N * N * H   # scores fwd+bwd
+                  + score_bytes              # scores fwd+bwd
                   + 4 * sb * B * N * f * L)  # activations fwd+bwd
 
     t0 = time.time()
@@ -207,7 +215,9 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
 
     out = {
         "preset": preset,
+        "aggr": aggr,
         "fused_gat": fused,
+        "packed_adj": packed_adj,
         "n_pad": int(scfg.n_pad),
         "batch_size": p["batch_size"],
         "steps_per_epoch": int(nb),
@@ -243,13 +253,20 @@ def main():
                     help="fused Pallas masked-attention kernel "
                          "(ops/pallas_gat.py) instead of the dense "
                          "[B,N,N,H] score chain")
+    ap.add_argument("--aggr", type=str, default="gat",
+                    help="override the backbone aggr (e.g. sage) — the "
+                         "preset only fixes the shape; PPR/subgraph "
+                         "caches are shared across aggrs")
+    ap.add_argument("--packed_adj", action="store_true",
+                    help="fused Pallas bit-packed aggregation "
+                         "(ops/pallas_packed.py; gcn/sage/gin only)")
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
         jax.config.update("jax_platforms", args.platform)
     out = [run(pre, args.roots, args.trace, args.graph_nodes,
-               args.compute_dtype, args.fused)
+               args.compute_dtype, args.fused, args.aggr, args.packed_adj)
            for pre in args.preset]
     print(json.dumps(out, indent=1))
 

@@ -68,21 +68,21 @@ def _scores(a_s, a_n, adjs, adjn):
 
 def _fwd_kernel(a_s_ref, a_n_ref, v_ref, adjn_ref, adjs_ref, out_ref, *,
                 bf16):
-    e, dn = _scores(a_s_ref[0], a_n_ref[0], adjs_ref[0], adjn_ref[0])
-    v = v_ref[0, :, 0, :]
+    e, dn = _scores(a_s_ref[0, 0], a_n_ref[0, 0], adjs_ref[0], adjn_ref[0])
+    v = v_ref[0, 0]
     if bf16:
         e, v = e.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
     out = jnp.dot(e, v, preferred_element_type=jnp.float32)
-    out_ref[0, :, 0, :] = out / dn
+    out_ref[0, 0] = out / dn
 
 
 def _bwd_kernel(a_s_ref, a_n_ref, v_ref, adjn_ref, adjs_ref, out_ref, g_ref,
                 das_ref, dan_ref, dv_ref, *, bf16):
-    e, dn = _scores(a_s_ref[0], a_n_ref[0], adjs_ref[0], adjn_ref[0])
+    e, dn = _scores(a_s_ref[0, 0], a_n_ref[0, 0], adjs_ref[0], adjn_ref[0])
     p = e / dn                                         # [N, N]
-    v = v_ref[0, :, 0, :]
-    g = g_ref[0, :, 0, :]
-    o = out_ref[0, :, 0, :]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
+    o = out_ref[0, 0]
     if bf16:
         pd, gd, vd = (p.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
                       v.astype(jnp.bfloat16))
@@ -96,14 +96,19 @@ def _bwd_kernel(a_s_ref, a_n_ref, v_ref, adjn_ref, adjs_ref, out_ref, g_ref,
                              preferred_element_type=jnp.float32)
     r = jnp.sum(g * o, axis=1, keepdims=True)          # [N, 1]
     ds = p * (gv - r)                                  # [N, N]
-    das_ref[0] = jnp.transpose(jnp.sum(ds, axis=1, keepdims=True))
-    dan_ref[0] = jnp.sum(ds, axis=0, keepdims=True)
-    dv_ref[0, :, 0, :] = dv
+    das_ref[0, 0] = jnp.transpose(jnp.sum(ds, axis=1, keepdims=True))
+    dan_ref[0, 0] = jnp.sum(ds, axis=0, keepdims=True)
+    dv_ref[0, 0] = dv
 
 
 def _specs(b, h, n, dh):
-    att = pl.BlockSpec((1, 1, n), lambda i, j: (i, j, 0))
-    val = pl.BlockSpec((1, n, 1, dh), lambda i, j: (i, 0, j, 0))
+    # TPU lowering requires every block's last two dims to be divisible
+    # by (8, 128) or equal to the array dims — hence the explicit
+    # singleton axis on the att arrays ([B, H, 1, N]) and the
+    # head-major value layout ([B, H, N, dh]): all blocks then cover
+    # their trailing dims exactly.
+    att = pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0))
+    val = pl.BlockSpec((1, 1, n, dh), lambda i, j: (i, j, 0, 0))
     adj = pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0))
     return att, val, adj
 
@@ -127,18 +132,20 @@ def gat_attention(att_self: jax.Array, att_neigh: jax.Array,
     b, h, n = att_self.shape
     dh = values.shape[-1]
     att, val, adj = _specs(b, h, n, dh)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, bf16=bf16),
         grid=(b, h),
         in_specs=[att, att, val, adj, adj],
         out_specs=val,
-        out_shape=jax.ShapeDtypeStruct((b, n, h, dh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, dh), jnp.float32),
         interpret=jax.default_backend() == "cpu",
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * n * n * dh,
             bytes_accessed=b * (2 * n * n + 2 * h * n * dh + 2 * h * n) * 4,
             transcendentals=b * h * n * n),
-    )(att_self, att_neigh, values, adj_norm, adj_struct)
+    )(att_self[:, :, None, :], att_neigh[:, :, None, :],
+      jnp.transpose(values, (0, 2, 1, 3)), adj_norm, adj_struct)
+    return jnp.transpose(out, (0, 2, 1, 3))           # back to [B,N,H,dh]
 
 
 def _fwd(att_self, att_neigh, values, adj_norm, adj_struct, bf16):
@@ -157,18 +164,21 @@ def _bwd(bf16, res, g):
         grid=(b, h),
         in_specs=[att, att, val, adj, adj, val, val],
         out_specs=(att, att, val),
-        out_shape=(jax.ShapeDtypeStruct((b, h, n), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, n), jnp.float32),
-                   jax.ShapeDtypeStruct((b, n, h, dh), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, n, dh), jnp.float32)),
         interpret=jax.default_backend() == "cpu",
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * n * dh,
             bytes_accessed=b * (2 * n * n + 4 * h * n * dh + 4 * h * n) * 4,
             transcendentals=b * h * n * n),
-    )(att_self, att_neigh, values, adj_norm, adj_struct, out,
-      g.astype(jnp.float32))
-    dv = dv.astype(values.dtype)
-    return das, dan, dv, jnp.zeros_like(adj_norm), jnp.zeros_like(adj_struct)
+    )(att_self[:, :, None, :], att_neigh[:, :, None, :],
+      jnp.transpose(values, (0, 2, 1, 3)), adj_norm, adj_struct,
+      jnp.transpose(out, (0, 2, 1, 3)),
+      jnp.transpose(g.astype(jnp.float32), (0, 2, 1, 3)))
+    dv = jnp.transpose(dv, (0, 2, 1, 3)).astype(values.dtype)
+    return (das[:, :, 0, :], dan[:, :, 0, :], dv,
+            jnp.zeros_like(adj_norm), jnp.zeros_like(adj_struct))
 
 
 gat_attention.defvjp(_fwd, _bwd)
