@@ -52,6 +52,13 @@ PRESETS = {
     "smoke_gat2": dict(num_layers=2, dim=64, heads=2, k=32,
                        batch_size=8, dropout=0.1, dropedge=0.1,
                        aug="hops", eps=1e-4),
+    # the bench.py headline workload, for --trace breakdowns
+    # (pass --aggr sage; graph/arch overrides reproduce bench.py exactly)
+    "flagship_sage3": dict(num_layers=3, dim=256, heads=1, k=200,
+                           batch_size=64, dropout=0.45, dropedge=0.05,
+                           aug="hops", eps=1e-6, num_feat=500, avg_deg=10.0,
+                           power_law=False, pooling="center", residue="none",
+                           act="relu", graph_nodes=89_250),
 }
 
 
@@ -109,16 +116,20 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
     from shadow_gnn_tpu.train.pipeline import Trainer
 
     p = PRESETS[preset]
-    g = make_synthetic_dataset(num_nodes=graph_nodes, avg_deg=15.0,
-                               num_feat=128, num_classes=7, seed=0,
-                               power_law=True)
+    g = make_synthetic_dataset(num_nodes=p.get("graph_nodes", graph_nodes),
+                               avg_deg=p.get("avg_deg", 15.0),
+                               num_feat=p.get("num_feat", 128),
+                               num_classes=7, seed=0,
+                               power_law=p.get("power_law", True))
     g.node_set[TRAIN] = g.node_set[TRAIN][:n_roots]
     cfg = {
         "data": {"transductive": True},
         "architecture": {
             "dim": p["dim"], "aggr": aggr, "heads": p["heads"],
-            "loss": "softmax", "num_layers": p["num_layers"], "act": "prelu",
-            "feature_augment": p["aug"], "residue": "max", "pooling": "max",
+            "loss": "softmax", "num_layers": p["num_layers"],
+            "act": p.get("act", "prelu"),
+            "feature_augment": p["aug"], "residue": p.get("residue", "max"),
+            "pooling": p.get("pooling", "max"),
         },
         "hyperparameter": {"end": 1, "lr": 2e-4, "dropout": p["dropout"],
                            "dropedge": p["dropedge"],
@@ -173,8 +184,10 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
     sb = 2.0 if compute_dtype == "bfloat16" else 4.0
     score_bytes = 4 * sb * B * N * N * H if aggr == "gat" and not fused \
         else 0.0
+    fb = 2.0 if tr.feat_dtype == "bfloat16" else 4.0
     step_bytes = (4.0 * B * N * N            # adj f32
                   + score_bytes              # scores fwd+bwd
+                  + fb * B * N * feat_dim    # feature-table gather
                   + 4 * sb * B * N * f * L)  # activations fwd+bwd
 
     t0 = time.time()

@@ -62,6 +62,11 @@ def build_argparser():
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation dtype (params/logits stay f32)")
+    p.add_argument("--feat_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="HBM feature-table storage dtype; bfloat16 "
+                        "halves the resident table and gather traffic "
+                        "(papers100M: 57GB -> 28GB), upcast after gather")
     p.add_argument("--packed_adj", action="store_true",
                    help="fused Pallas aggregation over the bit-packed "
                         "subgraph cache (gcn/sage/gin)")
@@ -181,6 +186,7 @@ def main(argv=None):
                       packed_adj=args.packed_adj,
                       fused_gat=args.fused_gat,
                       compute_dtype=args.compute_dtype,
+                      feat_dtype=args.feat_dtype,
                       prng_impl=args.prng)
     trainer.trace_dir = args.trace_dir
     trainer.eval_train_every = max(1, args.eval_train_every)

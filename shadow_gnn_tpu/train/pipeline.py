@@ -109,7 +109,8 @@ class Trainer:
                  seed: int = 0, use_device_ppr: Optional[bool] = None,
                  matmul_precision: Optional[str] = None,
                  packed_adj: bool = False, compute_dtype: str = "float32",
-                 prng_impl: Optional[str] = None, fused_gat: bool = False):
+                 prng_impl: Optional[str] = None, fused_gat: bool = False,
+                 feat_dtype: str = "float32"):
         if prng_impl:
             # counter-based RBG instead of threefry for dropout/dropedge
             # mask generation: measured 31.4k -> 43.5k subgraphs/s on the
@@ -174,7 +175,20 @@ class Trainer:
             from shadow_gnn_tpu.train.preproc import preprocess_signals
             self.feat_np, self.dim_feat_smooth, self.dim_label_smooth = \
                 preprocess_signals(self)
-        self.feat_tab = jnp.asarray(self.feat_np)
+        # HBM feature-table storage dtype.  bfloat16 halves both the
+        # resident table (papers100M scale: 111M x 128 f32 = 57 GB ->
+        # 28.4 GB, i.e. ~3.6 GB/chip row-sharded on a v5e-8) and the
+        # per-step gather traffic; the model upcasts to its compute
+        # dtype right after the gather (model.py feat cast), so only
+        # the stored features are rounded — all arithmetic is
+        # unchanged.  Host-side preprocessing (smoothening, norm)
+        # stays f32; rounding happens once at device upload.
+        if feat_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported feat_dtype {feat_dtype!r}")
+        self.feat_dtype = feat_dtype
+        self.feat_tab = jnp.asarray(
+            self.feat_np,
+            dtype=jnp.bfloat16 if feat_dtype == "bfloat16" else None)
         # sampler branches
         self.branches = self._build_branches()
         self.num_ensemble = len(self.branches)

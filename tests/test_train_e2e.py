@@ -480,6 +480,26 @@ def test_bf16_compute_dtype(tmp_path):
     assert tr.logger.final_stats[TEST]["accuracy"] > 0.5
 
 
+def test_bf16_feat_storage(tmp_path):
+    """bf16 HBM feature storage: table dtype halves, arithmetic stays in
+    the compute dtype (upcast after gather), accuracy unaffected."""
+    import jax.numpy as jnp
+    g = make_synthetic_dataset(num_nodes=600, avg_deg=8, num_feat=16,
+                               num_classes=5, seed=3)
+    parsed = parse_config(BASE_CONFIG)
+    m = Metrics("toy", False, "accuracy", 1)
+    tr = Trainer("toy", str(tmp_path), g, parsed, m,
+                 Logger(m, str(tmp_path / "log"), no_log=True), seed=0,
+                 use_device_ppr=False, feat_dtype="bfloat16")
+    assert tr.feat_tab.dtype == jnp.bfloat16
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.5
+    with pytest.raises(ValueError):
+        Trainer("toy", str(tmp_path), g, parsed, m,
+                Logger(m, str(tmp_path / "log2"), no_log=True), seed=0,
+                use_device_ppr=False, feat_dtype="float16")
+
+
 def test_reference_yml_drives_training(tmp_path):
     """An unmodified reference config yml (flickr flagship) drives this
     framework on a synthetic graph."""
