@@ -41,7 +41,13 @@ def main():
                     help="also train the adjacency-free MLP control")
     ap.add_argument("--skip_gnn", action="store_true",
                     help="run only the MLP control (for re-runs)")
+    ap.add_argument("--family", action="append", default=None,
+                    choices=["sage", "gat", "gin", "gcn", "pprst",
+                             "ensemble"],
+                    help="model/sampler families to run (repeatable; "
+                         "default: sage)")
     args = ap.parse_args()
+    args.family = args.family or ["sage"]
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
@@ -78,6 +84,37 @@ def main():
         c["sampler"] = [{"method": "nodeIID", "phase": "train"}]
         return c
 
+    # model-zoo variants: same task, same budget, different family —
+    # convergence evidence that the whole zoo (not just the flagship)
+    # trains the planted structure out of weak features
+    def cfg_family(fam, end):
+        c = cfg_gnn(end)
+        if fam == "gat":
+            c["architecture"] = dict(c["architecture"], aggr="gat",
+                                     heads=4, act="prelu")
+        elif fam == "gin":
+            c["architecture"] = dict(c["architecture"], aggr="gin")
+        elif fam == "gcn":
+            c["architecture"] = dict(c["architecture"], aggr="gcn")
+        elif fam == "pprst":
+            # stochastic ppr_st train sampler; VALID/TEST take the
+            # deterministic top-k fallback over the 2k pool — the exact
+            # path of the round-1 eval-scope bug (samplers.py k_rule)
+            c["sampler"] = [{"method": "ppr_st", "phase": "train",
+                             "k": [200], "epsilon": [1e-6],
+                             "threshold": [0.0]}]
+        elif fam == "ensemble":
+            # two-branch ppr + khop with the softmax ensembler
+            c["sampler"] = [
+                {"method": "ppr", "phase": "train", "k": [100],
+                 "epsilon": [1e-6]},
+                {"method": "khop", "phase": "train", "depth": [2],
+                 "budget": [10]},
+            ]  # softmax ensembler engages automatically (num_ensemble=2)
+        elif fam != "sage":
+            raise SystemExit(f"unknown family {fam}")
+        return c
+
     raw, feat_ceiling = make_planted_dataset(num_nodes=args.nodes, seed=0)
     import numpy as np
     print(f"planted SBM: {args.nodes} nodes, feature-only ceiling "
@@ -106,19 +143,21 @@ def main():
     if args.skip_gnn:
         print(json.dumps(out))
         return
-    accs = [run(cfg_gnn(args.epochs), s, "sage3ppr")
-            for s in range(args.seeds)]
-    mean, std = float(np.mean(accs)), float(np.std(accs))
-    out["sage3_ppr_test_acc_mean"] = round(mean, 4)
-    out["sage3_ppr_test_acc_std"] = round(std, 4)
+    for fam in args.family:
+        accs = [run(cfg_family(fam, args.epochs), s, fam)
+                for s in range(args.seeds)]
+        mean, std = float(np.mean(accs)), float(np.std(accs))
+        out[f"{fam}_test_acc_mean"] = round(mean, 4)
+        out[f"{fam}_test_acc_std"] = round(std, 4)
+        assert mean >= feat_ceiling + 0.25, (
+            f"{fam} {mean:.4f} does not clear the feature ceiling "
+            f"{feat_ceiling:.4f}+0.25 — the pipeline is not learning the "
+            f"planted structure")
+        assert std < 0.02, f"{fam} seed variance too high: {std:.4f}"
+        print(f"PASS [{fam}]: planted-structure recovery "
+              f"{mean:.4f} +- {std:.4f} vs feature ceiling "
+              f"{feat_ceiling:.4f}")
     print(json.dumps(out))
-    assert mean >= feat_ceiling + 0.25, (
-        f"GNN {mean:.4f} does not clear the feature ceiling "
-        f"{feat_ceiling:.4f}+0.25 — the pipeline is not learning the "
-        f"planted structure")
-    assert std < 0.02, f"seed variance too high: {std:.4f}"
-    print("PASS: planted-structure recovery "
-          f"{mean:.4f} +- {std:.4f} vs feature ceiling {feat_ceiling:.4f}")
 
 
 if __name__ == "__main__":
