@@ -311,6 +311,45 @@ def test_cli_end_to_end(tmp_path):
     assert len(finished) == 1
 
 
+def test_cli_inference_dir(tmp_path):
+    """--inference_dir on a finished run dir reloads the archived yml +
+    best checkpoint and reports eval metrics (main.py inference task)."""
+    g = make_synthetic_dataset(num_nodes=400, avg_deg=6, num_feat=8,
+                               num_classes=4, seed=1)
+    save_shadow_format(str(tmp_path / "data"), "toy", indptr=g.indptr_full,
+                       indices=g.indices_full, feat=g.feat_full,
+                       label=g.label_full, node_set=g.node_set)
+    import yaml
+    cfg = {**BASE_CONFIG,
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+    with open(tmp_path / "toy.yml", "w") as f:
+        yaml.dump(cfg, f)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = ["--dataset", "toy", "--data_dir", str(tmp_path / "data"),
+              "--log_dir", str(tmp_path / "logs"), "--platform", "cpu",
+              "--device_ppr", "host"]
+    r = subprocess.run(
+        [sys.executable, "-m", "shadow_gnn_tpu.main",
+         "--configs", str(tmp_path / "toy.yml"), "--seed", "1"] + common,
+        capture_output=True, text=True, env=env, cwd=root)
+    assert r.returncode == 0, r.stdout + r.stderr
+    finished = list((tmp_path / "logs" / "toy" / "finished").iterdir())
+    assert len(finished) == 1
+    r2 = subprocess.run(
+        [sys.executable, "-m", "shadow_gnn_tpu.main",
+         "--inference_dir", str(finished[0])] + common,
+        capture_output=True, text=True, env=env, cwd=root)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "PERFORM INFERENCE TASK" in r2.stdout
+    # inference reproduces the trained model's eval metrics
+    import re
+    acc_train = re.findall(r"\[test \].*accuracy = ([0-9.]+)", r.stdout)
+    acc_inf = re.findall(r"\[test \].*accuracy = ([0-9.]+)", r2.stdout)
+    assert acc_train and acc_inf
+    assert abs(float(acc_train[-1]) - float(acc_inf[-1])) < 1e-6
+
+
 def test_packed_adj_path_matches_dense(tmp_path):
     """The fused Pallas aggregation path gives the same eval metrics as
     the dense path (interpret-mode kernel on CPU)."""
