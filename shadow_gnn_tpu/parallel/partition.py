@@ -76,8 +76,15 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
     bshard = NamedSharding(mesh, P(axis))
     trainer._ensure_tables(mode)
     tab = pad_rows_to_shards(trainer.feat_np, n_devices)
+    # honour the trainer's feature-storage dtype: bf16 halves both the
+    # per-chip table shard (papers100M: 7.1 -> 3.6 GB/chip on a v5e-8)
+    # and the all-gather/psum_scatter exchange volume; the model
+    # upcasts after the gather as on the single-chip path
+    fdt = (jnp.bfloat16
+           if getattr(trainer, "feat_dtype", "float32") == "bfloat16"
+           else None)
     feat_sharded = jax.device_put(
-        jnp.asarray(tab), NamedSharding(mesh, P(axis, None)))
+        jnp.asarray(tab, dtype=fdt), NamedSharding(mesh, P(axis, None)))
     graph_meta = trainer.graph[mode]
     graph_arrays = jax.device_put(
         (graph_meta.indptr, graph_meta.indices), repl)

@@ -36,7 +36,7 @@ def test_sharded_feat_gather_matches_dense(mesh8):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
-def _tiny_trainer(tmp_path, batch_size):
+def _tiny_trainer(tmp_path, batch_size, **tr_kw):
     from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
     from shadow_gnn_tpu.train.config import parse_config
     from shadow_gnn_tpu.train.logger import Logger
@@ -59,7 +59,7 @@ def _tiny_trainer(tmp_path, batch_size):
     m = Metrics("toy", False, "accuracy", 1)
     logger = Logger(m, str(tmp_path), no_log=True)
     return Trainer("toy", "", g, parsed, m, logger, seed=0,
-                   use_device_ppr=False)
+                   use_device_ppr=False, **tr_kw)
 
 
 def test_dp_train_step(tmp_path):
@@ -80,14 +80,20 @@ def test_dp_train_step(tmp_path):
     assert delta > 0
 
 
-def test_sharded_feature_train_step(tmp_path):
-    """Full DP step with row-sharded features runs and learns direction."""
+@pytest.mark.parametrize("feat_dtype", ["float32", "bfloat16"])
+def test_sharded_feature_train_step(tmp_path, feat_dtype):
+    """Full DP step with row-sharded features runs and learns direction
+    (bf16 variant: the papers100M-residency configuration — half-width
+    table shards and collective exchange)."""
     from shadow_gnn_tpu.parallel.partition import make_sharded_train_step
-    tr = _tiny_trainer(tmp_path, batch_size=16)
+    tr = _tiny_trainer(tmp_path, batch_size=16, feat_dtype=feat_dtype)
     from shadow_gnn_tpu import TRAIN
     tr._ensure_tables(TRAIN)
     nb, roots, rows, labels, w, _, _ = tr._epoch_arrays(TRAIN)
-    step, shard_batch, replicate, _ = make_sharded_train_step(tr, TRAIN, 8)
+    step, shard_batch, replicate, feat_sh = make_sharded_train_step(
+        tr, TRAIN, 8)
+    assert feat_sh.dtype == (jnp.bfloat16 if feat_dtype == "bfloat16"
+                             else jnp.float32)
     params = replicate(tr.params)
     opt_state = replicate(tr.opt_state)
     losses = []
