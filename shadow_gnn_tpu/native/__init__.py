@@ -55,11 +55,42 @@ sys.exit(0 if rc == 0 else 1)
 """
 
 
+def _stamp_path() -> str:
+    return _SO + ".ok"
+
+
+def _stamp_value() -> str:
+    import platform
+    return (f"{os.path.getmtime(_SO)}:{os.path.getsize(_SO)}:"
+            f"{platform.machine()}:{platform.node()}")
+
+
+def _stamp_fresh() -> bool:
+    try:
+        with open(_stamp_path()) as f:
+            return f.read() == _stamp_value()
+    except OSError:
+        return False
+
+
 def _selftest_ok() -> bool:
+    """Probe the .so in a THROWAWAY subprocess (a stale -march=native
+    binary dies with SIGILL, uncatchable in-process).  A stamp file
+    records a successful probe of this exact binary on this machine so
+    later processes skip the ~100ms fork+exec."""
     import sys
+    if _stamp_fresh():
+        return True
     r = subprocess.run([sys.executable, "-c", _SELFTEST, _SO],
                        capture_output=True)
-    return r.returncode == 0
+    if r.returncode == 0:
+        try:
+            with open(_stamp_path(), "w") as f:
+                f.write(_stamp_value())
+        except OSError:
+            pass            # read-only fs: just re-probe next process
+        return True
+    return False
 
 
 def get_lib():

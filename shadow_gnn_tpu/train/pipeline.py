@@ -56,24 +56,6 @@ def weighted_loss_fn(cfg: ModelConfig, logits, labels, weights):
     return (ce * weights).sum() / wsum
 
 
-def bucket_size(n: int) -> int:
-    """Round ``n`` up to a geometric bucket (1, 2, 3, 4, 6, 8, 12, ...).
-
-    Compiles on this backend cost minutes PER PROGRAM regardless of
-    program size (the epoch program is only ~3k HLO ops), so the lever
-    is fewer distinct shapes: epoch scan lengths are padded to buckets
-    so different split sizes hit the same compiled program / persistent
-    cache entry.  Max padding waste is 33%; typical is ~10%.
-    """
-    if n <= 4:
-        return max(n, 0)
-    b = 4
-    while b < n:
-        # x1.5 steps, kept multiples of 4 for clean tiling
-        b = -(-(b * 3 // 2) // 4) * 4
-    return b
-
-
 def bucket_cap(n: int) -> int:
     """Round an induction capacity up to a shared bucket (~12% geometric
     steps, multiples of 64).
@@ -743,8 +725,19 @@ class Trainer:
 
                 (loss, logits), grads = jax.value_and_grad(
                     lf, has_aux=True)(params)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                # zero-weight batches are chunk PADDING (_run_chunks pads
+                # a short final chunk): their gradients are zero, but an
+                # unconditional opt.update would still apply Adam's
+                # momentum (m_hat/(sqrt(v_hat)+eps) != 0) — a spurious
+                # parameter step the monolithic path never takes.  Skip
+                # the whole update for padded steps.
+                def upd(po):
+                    p, o = po
+                    updates, o = opt.update(grads, o, p)
+                    return optax.apply_updates(p, updates), o
+
+                params, opt_state = jax.lax.cond(
+                    w.sum() > 0, upd, lambda po: po, (params, opt_state))
                 ovf = sum(b.overflow for b in batches)
                 return (params, opt_state, rng), (loss, predict_fn(cfg_m,
                                                                    logits), ovf)
@@ -790,7 +783,9 @@ class Trainer:
         # zero-weight batches rather than tracing a second chunk shape
         # (a few wasted eval batches are orders cheaper than another
         # multi-minute compile on this backend)
-        C = self.chunk_batches
+        # chunk_batches == 0 (monolithic mode) still reaches this path
+        # through predict_full: degrade to a single epoch-length chunk
+        C = self.chunk_batches if self.chunk_batches > 0 else nb
         n_chunks = -(-nb // C)
         losses_l, preds_l, ovf_l = [], [], []
         mt = jnp.asarray(mode == TRAIN)

@@ -72,6 +72,31 @@ def test_chunked_train_path(tmp_path):
         l2, _, _ = tr._run_chunks(TRAIN, True, nb, roots, rows, labels_dev,
                                   w_dev, jax.random.PRNGKey(1))
     assert l2.mean() < losses.mean()
+    # padded (zero-weight) steps must be true no-ops: with nonzero Adam
+    # momentum accumulated above, an unconditional opt.update would
+    # still move params (m_hat/(sqrt(v_hat)+eps) != 0)
+    p_before = jax.device_get(tr.params)
+    import jax.numpy as jnp
+    tr._run_chunks(TRAIN, True, nb, roots, rows, labels_dev,
+                   jnp.zeros_like(w_dev), jax.random.PRNGKey(2))
+    p_after = jax.device_get(tr.params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), p_before, p_after)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_predict_full_monolithic_mode(tmp_path):
+    """predict_full works with chunk_batches=0 (--chunk_batches 0, the
+    monolithic round-1 mode): C&S postproc reaches _run_chunks even
+    when epoch programs are monolithic."""
+    cfg = {**BASE_CONFIG,
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 1}}
+    tr = make_trainer(tmp_path, cfg)
+    tr.chunk_batches = 0
+    tr.train()
+    pred = tr.predict_full(modes=(TEST,))
+    assert pred.shape == (600, 5)
+    assert np.isfinite(pred).all() and pred.max() > 0
 
 
 def test_training_learns(tmp_path):
