@@ -198,7 +198,10 @@ def run_ours(seed: int, epochs: int) -> float:
     }
     parsed = parse_config(cfg)
     metrics = Metrics("flickr", False, "accuracy", 1)
-    tr = Trainer("flickr", "", raw, parsed, metrics,
+    # dir_data points at the SHARED export: our PPR-cache discovery picks
+    # up the bin files the reference's C++ engine wrote (byte-compatible
+    # cache contract) — or writes ones the reference then reuses.
+    tr = Trainer("flickr", os.path.join(WORK, "data"), raw, parsed, metrics,
                  Logger(metrics, f"/tmp/ab_ours_{seed}", no_log=True),
                  seed=seed)
     t0 = time.time()
