@@ -215,6 +215,7 @@ def run_ours(seed: int, epochs: int) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed_start", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--nodes", type=int, default=20000)
     ap.add_argument("--stage", default="all",
@@ -237,7 +238,9 @@ def main():
         print(f"exported {WORK}/data/flickr (ceiling {ceiling:.4f})")
     if args.stage in ("all", "ref"):
         ensure_engine()
-        accs = [run_reference(s, args.epochs) for s in range(args.seeds)]
+        accs = [run_reference(s, args.epochs)
+                for s in range(args.seed_start,
+                               args.seed_start + args.seeds)]
         import numpy as np
         out["reference_test_acc_mean"] = round(float(np.mean(accs)), 4)
         out["reference_test_acc_std"] = round(float(np.std(accs)), 4)
@@ -247,7 +250,9 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
         import numpy as np
-        accs = [run_ours(s, args.epochs) for s in range(args.seeds)]
+        accs = [run_ours(s, args.epochs)
+                for s in range(args.seed_start,
+                               args.seed_start + args.seeds)]
         out["ours_test_acc_mean"] = round(float(np.mean(accs)), 4)
         out["ours_test_acc_std"] = round(float(np.std(accs)), 4)
         out["ours_test_accs"] = [round(a, 4) for a in accs]
