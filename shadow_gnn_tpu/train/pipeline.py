@@ -682,14 +682,12 @@ class Trainer:
                 out.append(())
         return tuple(out)
 
-    def _chunk_fn(self, mode: int, train: bool):
-        cfgs = tuple(br["cfg"][mode] for br in self.branches)
-        kinds = self._branch_kinds(mode)
-        key = (train, cfgs, kinds)
-        if key in self._epoch_fns:
-            return self._epoch_fns[key], kinds
+    def _branch_batches_fn(self, cfgs, kinds):
+        """Shared closure: per-branch batch construction inside the
+        chunked programs (cache gather / pre-gathered table slices /
+        free-running samplers)."""
         from shadow_gnn_tpu.sampling.cache import gather_batch
-        model, opt, cfg_m = self.model, self.opt, self.model_cfg
+        cfg_m = self.model_cfg
         num_nodes = self.num_nodes
 
         def branch_batches(graph, feat_tab, roots, rng, bxs):
@@ -714,6 +712,17 @@ class Trainer:
                                                num_nodes - 1)])
                 batches.append(batch)
             return batches, feats
+
+        return branch_batches
+
+    def _chunk_fn(self, mode: int, train: bool):
+        cfgs = tuple(br["cfg"][mode] for br in self.branches)
+        kinds = self._branch_kinds(mode)
+        key = (train, cfgs, kinds)
+        if key in self._epoch_fns:
+            return self._epoch_fns[key], kinds
+        model, opt, cfg_m = self.model, self.opt, self.model_cfg
+        branch_batches = self._branch_batches_fn(cfgs, kinds)
 
         if train:
             def t_step(graph, feat_tab, carry, x):
@@ -1059,36 +1068,79 @@ class Trainer:
             pred_mat[r[valid]] = preds[valid]
         return pred_mat
 
+    def _emb_chunk_fn(self, mode: int):
+        """Chunked scan program producing per-branch embeddings — the
+        bulk-export analog of the eval chunk.  One program dispatch per
+        chunk instead of per batch: with ~tens-of-ms RPC dispatch
+        through a remote TPU runtime the per-batch python loop capped
+        bulk export at ~600 subg/s (scripts/serving_bench.py round-2
+        measurement); the scan restores cached-epoch throughput."""
+        cfgs = tuple(br["cfg"][mode] for br in self.branches)
+        kinds = self._branch_kinds(mode)
+        key = ("emb", cfgs, kinds)
+        if key in self._epoch_fns:
+            return self._epoch_fns[key], kinds
+        model = self.model
+        branch_batches = self._branch_batches_fn(cfgs, kinds)
+
+        def e_step(params, graph, feat_tab, mode_train, rng, x):
+            roots, bxs = x
+            rng, r_samp = jax.random.split(rng)
+            batches, feats = branch_batches(graph, feat_tab, roots,
+                                            r_samp, bxs)
+            _, emb_ens = model.apply(params, batches, feats,
+                                     mode_train=mode_train, train=False)
+            return rng, jnp.stack(emb_ens)          # [n_ens, B, dim]
+
+        @jax.jit
+        def chunk(params, rng, mode_train, graph, feat_tab, xs):
+            rng, embs = jax.lax.scan(
+                partial(e_step, params, graph, feat_tab, mode_train),
+                rng, xs)
+            return rng, embs                        # [C, n_ens, B, dim]
+
+        self._epoch_fns[key] = chunk
+        return chunk, kinds
+
     def embed_full(self, modes=(TRAIN, VALID, TEST)) -> List[np.ndarray]:
         """Per-branch embedding matrices emb[raw node id] for the
         subgraph-ensemble postprocessing (reference main.py:270-282)."""
         assert self.task == "node"
         embs = [np.zeros((self.num_nodes, self.model_cfg.dim), np.float32)
                 for _ in range(self.num_ensemble)]
-        model = self.model
-
-        def make_emb_step(md):
-            @jax.jit
-            def emb_step(params, roots, rows, arrays):
-                batches, feats = self._sample_branch_batches(
-                    md, roots, rows, jax.random.PRNGKey(0), arrays)
-                _, emb_ens = model.apply(params, batches, feats,
-                                         mode_train=(md == TRAIN), train=False)
-                return emb_ens
-            return emb_step
-
         for md in modes:
-            emb_step = make_emb_step(md)
             self._ensure_tables(md)
+            fn, kinds = self._emb_chunk_fn(md)
             (nb, roots, rows, _labels, _w, _ln, w_np) = self._epoch_arrays(md)
             w_np = w_np.reshape(nb, -1)
-            arrays_e = self._mode_arrays(md)
+            graph, feat_tab = self.graph[md], self.feat_tab
+            C = self.chunk_batches if self.chunk_batches > 0 else nb
+            n_chunks = -(-nb // C)
+            rng = jax.random.PRNGKey(0)
+            mt = jnp.asarray(md == TRAIN)
+            out_l = []
+            for ci in range(n_chunks):
+                s, e = ci * C, min((ci + 1) * C, nb)
+                pad = C - (e - s)
+
+                def cut(a):
+                    sl = a[s:e]
+                    if pad:
+                        sl = jnp.concatenate(
+                            [sl, jnp.repeat(a[s:s + 1], pad, 0)], 0)
+                    return sl
+
+                xs = (cut(roots), self._pregather(md, kinds, cut(rows)))
+                rng, emb_c = fn(self.params, rng, mt, graph, feat_tab, xs)
+                out_l.append(emb_c)
+            # host conversion after the loop keeps dispatches async
+            emb_all = np.concatenate([np.asarray(o) for o in out_l])[:nb]
+            r_all = np.asarray(roots).reshape(nb, -1, self.num_targets)[:, :, 0]
             for ib in range(nb):
-                emb_ens = emb_step(self.params, roots[ib], rows[ib], arrays_e)
-                r = np.asarray(roots[ib])[:, 0]
                 valid = w_np[ib] > 0
-                for i, e in enumerate(emb_ens):
-                    embs[i][r[valid]] = np.asarray(e)[valid]
+                r = r_all[ib]
+                for i in range(self.num_ensemble):
+                    embs[i][r[valid]] = emb_all[ib, i][valid]
         return embs
 
     def inference(self, modes=(VALID, TEST)):

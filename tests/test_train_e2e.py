@@ -859,3 +859,37 @@ def test_final_train_eval_zeroes_labels(tmp_path):
     # the traced flag means BOTH passes hit the same compiled program
     eval_fns = [k for k in tr._epoch_fns if k[0] is False]
     assert len(eval_fns) == 1
+
+
+def test_embed_full_chunked_matches_direct(tmp_path):
+    """embed_full (chunked scan program) reproduces the per-batch direct
+    forward on every valid root, across modes and chunk boundaries."""
+    import jax
+    cfg = dict(BASE_CONFIG)
+    tr = make_trainer(tmp_path, cfg)
+    tr.chunk_batches = 2          # force several chunks incl. a padded one
+    embs = tr.embed_full(modes=(TRAIN, VALID, TEST))
+    assert embs[0].shape == (tr.num_nodes, tr.model_cfg.dim)
+
+    model = tr.model
+    for md in (VALID, TEST):      # eval-mode ppr sampling is deterministic
+        (nb, roots, rows, _l, _w, _ln, w_np) = tr._epoch_arrays(md)
+        w_np = w_np.reshape(nb, -1)
+        arrays = tr._mode_arrays(md)
+
+        @jax.jit
+        def direct(params, r, rw):
+            batches, feats = tr._sample_branch_batches(
+                md, r, rw, jax.random.PRNGKey(0), arrays)
+            _, emb_ens = model.apply(params, batches, feats,
+                                     mode_train=(md == TRAIN), train=False)
+            return emb_ens
+
+        for ib in range(nb):
+            emb_ens = direct(tr.params, roots[ib], rows[ib])
+            r = np.asarray(roots[ib])[:, 0]
+            valid = w_np[ib] > 0
+            for i, e in enumerate(emb_ens):
+                np.testing.assert_allclose(
+                    embs[i][r[valid]], np.asarray(e)[valid],
+                    rtol=1e-5, atol=1e-5)
