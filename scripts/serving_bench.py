@@ -86,9 +86,6 @@ def main():
     t0 = time.time()
     tr._ensure_tables(TEST)
     print(f"PPR tables over all {n} nodes: {time.time()-t0:.1f}s")
-    arrays = tr._mode_arrays(TEST)
-    model, params = tr.model, tr.params
-
     out = {"nodes": n, "k": 200, "dim": 256}
 
     # tunnel dispatch floor: trivial jitted program, warm
@@ -101,28 +98,18 @@ def main():
         ts.append(time.time() - t0)
     out["dispatch_floor_ms_p50"] = round(1e3 * float(np.median(ts)), 2)
 
-    def make_serve(mdl):
-        @jax.jit
-        def serve(params, roots, rows, arrays):
-            batches, feats = tr._sample_branch_batches(
-                TEST, roots, rows, jax.random.PRNGKey(0), arrays)
-            logits, _ = mdl.apply(params, batches, feats,
-                                  mode_train=False, train=False)
-            return jax.nn.softmax(logits, axis=-1)
-        return serve
-
-    serve = make_serve(model)
+    # public point-query API (pads to shared compile buckets internally)
     rng = np.random.default_rng(3)
     lat = {}
     for b in [int(x) for x in args.batches.split(",")]:
-        ids = rng.integers(0, n, size=(b, 1)).astype(np.int64)
-        probs = serve(params, ids, ids, arrays)     # compile
-        _ = np.asarray(probs)
+        ids = rng.integers(0, n, size=b).astype(np.int64)
+        _ = tr.predict_nodes(ids, mode=TEST)        # compile
         ts = []
         for _i in range(args.requests):
-            ids = rng.integers(0, n, size=(b, 1)).astype(np.int64)
+            ids = rng.integers(0, n, size=b).astype(np.int64)
             t0 = time.time()
-            probs = np.asarray(serve(params, ids, ids, arrays))
+            probs = tr.predict_nodes(ids, mode=TEST)
+            assert probs.shape == (b, 7)
             ts.append(time.time() - t0)
         ts = np.array(ts)
         lat[b] = {

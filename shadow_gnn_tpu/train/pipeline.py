@@ -1068,6 +1068,77 @@ class Trainer:
             pred_mat[r[valid]] = preds[valid]
         return pred_mat
 
+    # ------------------------------------------------------------------
+    # Online serving (no reference counterpart: the reference's only
+    # inference path replays full eval epochs, main.py:204-211; point
+    # queries are a deployment capability the epoch machinery can't
+    # express).  Latency/throughput: scripts/serving_bench.py, BENCH.md.
+    def _serve_lookup(self, mode: int) -> np.ndarray:
+        """id -> PPR-table-row map for the mode's target set (-1 = not
+        covered).  For serving over arbitrary ids, put every node in the
+        mode's node_set before building tables (the serving analog of
+        the reference's transductive-link protocol, minibatch.py:383-389)."""
+        key = ("serve_lookup", mode)
+        if key not in self._epoch_fns:
+            lk = np.full(self.num_nodes, -1, dtype=np.int64)
+            lk[self._ppr_targets(mode)] = np.arange(
+                self._ppr_targets(mode).size)
+            self._epoch_fns[key] = lk
+        return self._epoch_fns[key]
+
+    def _serve_fn(self, mode: int):
+        key = ("serve", mode)
+        if key in self._epoch_fns:
+            return self._epoch_fns[key]
+        model, cfg_m = self.model, self.model_cfg
+
+        @jax.jit
+        def serve(params, roots, rows, arrays):
+            batches, feats = self._sample_branch_batches(
+                mode, roots, rows, jax.random.PRNGKey(0), arrays)
+            logits, emb_ens = model.apply(params, batches, feats,
+                                          mode_train=False, train=False)
+            return predict_fn(cfg_m, logits), jnp.stack(emb_ens)
+
+        self._epoch_fns[key] = serve
+        return serve
+
+    def _serve_batch(self, ids, mode: int):
+        assert self.task == "node", "point-query serving is node-task only"
+        ids = np.asarray(ids, dtype=np.int64).ravel()
+        if ids.size == 0:
+            raise ValueError("empty id batch")
+        self._ensure_tables(mode)
+        rows = self._serve_lookup(mode)[ids]
+        if (rows < 0).any():
+            raise ValueError(
+                f"node ids not covered by mode-{mode} PPR tables "
+                f"(first few: {ids[rows < 0][:5].tolist()}); include them "
+                "in the mode's node_set before building the trainer")
+        n = ids.size
+        # pad to shared buckets so request sizes reuse compiled programs
+        cap = 8 if n <= 8 else bucket_cap(n)
+        if cap > n:
+            ids = np.concatenate([ids, np.full(cap - n, ids[0])])
+            rows = np.concatenate([rows, np.full(cap - n, rows[0])])
+        probs, embs = self._serve_fn(mode)(
+            self.params, ids[:, None], rows[:, None],
+            self._mode_arrays(mode))
+        return n, probs, embs
+
+    def predict_nodes(self, ids, mode: int = TEST) -> np.ndarray:
+        """Point-query serving: class probabilities [len(ids), C] for
+        arbitrary node ids, through the full deterministic eval path
+        (PPR-row gather -> device sample/induce -> forward)."""
+        n, probs, _ = self._serve_batch(ids, mode)
+        return np.asarray(probs)[:n]
+
+    def embed_nodes(self, ids, mode: int = TEST) -> List[np.ndarray]:
+        """Point-query embeddings: per-ensemble-branch [len(ids), dim]."""
+        n, _, embs = self._serve_batch(ids, mode)
+        embs = np.asarray(embs)
+        return [embs[i, :n] for i in range(self.num_ensemble)]
+
     def _emb_chunk_fn(self, mode: int):
         """Chunked scan program producing per-branch embeddings — the
         bulk-export analog of the eval chunk.  One program dispatch per

@@ -893,3 +893,39 @@ def test_embed_full_chunked_matches_direct(tmp_path):
                 np.testing.assert_allclose(
                     embs[i][r[valid]], np.asarray(e)[valid],
                     rtol=1e-5, atol=1e-5)
+
+
+def test_point_query_serving_api(tmp_path):
+    """predict_nodes/embed_nodes: match the epoch-path predictions,
+    share compiled programs across request sizes via buckets, and
+    reject ids outside the mode's PPR target set."""
+    tr = make_trainer(tmp_path, BASE_CONFIG)
+    pred_mat = tr.predict_full(modes=(TEST,))
+    test_ids = np.asarray(tr.entity_set[TEST], dtype=np.int64)
+
+    # point queries reproduce the full-epoch prediction matrix
+    ids = test_ids[[0, 3, 7]]
+    probs = tr.predict_nodes(ids, mode=TEST)
+    assert probs.shape == (3, tr.num_classes)
+    np.testing.assert_allclose(probs, pred_mat[ids], rtol=1e-5, atol=1e-5)
+
+    # embeddings: right shape, consistent with a repeated query
+    embs = tr.embed_nodes(ids, mode=TEST)
+    assert len(embs) == tr.num_ensemble
+    assert embs[0].shape == (3, tr.model_cfg.dim)
+    embs2 = tr.embed_nodes(ids[::-1], mode=TEST)
+    np.testing.assert_allclose(embs[0], embs2[0][::-1], rtol=1e-5, atol=1e-5)
+
+    # request sizes 1..8 share one bucket (single compiled signature)
+    import jax
+    n_traces = []
+    for b in (1, 5, 8):
+        _ = tr.predict_nodes(test_ids[:b], mode=TEST)
+        n_traces.append(tr._serve_fn(TEST)._cache_size())
+    assert n_traces == [1, 1, 1]
+
+    # ids not covered by the mode's tables are rejected with context
+    uncovered = np.setdiff1d(np.arange(tr.num_nodes), test_ids)
+    if uncovered.size:
+        with pytest.raises(ValueError, match="not covered"):
+            tr.predict_nodes(uncovered[:1], mode=TEST)
