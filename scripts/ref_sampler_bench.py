@@ -81,6 +81,10 @@ def main():
     args = ap.parse_args()
 
     work = os.path.join(REPO, "tmp", "ref_sampler_bench")
+    # stale bin caches from interrupted runs trip the reference's
+    # full-coverage assert (ParallelSampler.cpp:173) — start clean
+    import shutil
+    shutil.rmtree(work, ignore_errors=True)
     os.makedirs(os.path.join(work, "erbench", "ppr_float"), exist_ok=True)
     adj, _ = build_graph(num_nodes=args.nodes)
     common = {"size_root": 1, "fix_target": True,
