@@ -13,6 +13,23 @@ torch = pytest.importorskip("torch")
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts", "ref_shims"))
 
+_SHIM_MODS = ("torch_scatter", "torch_geometric", "torch_geometric.nn",
+              "torch_geometric.utils", "ogb", "ogb.nodeproppred",
+              "ogb.linkproppred")
+
+
+@pytest.fixture(autouse=True)
+def _fresh_shim_imports():
+    """test_reference_parity.py installs bare in-memory stand-ins for
+    these modules at collection time (sys.modules injection); purge them
+    so each test here imports the REAL scripts/ref_shims packages, then
+    restore whatever was there."""
+    saved = {m: sys.modules.pop(m) for m in _SHIM_MODS if m in sys.modules}
+    yield
+    for m in _SHIM_MODS:
+        sys.modules.pop(m, None)
+    sys.modules.update(saved)
+
 
 def test_scatter_sum_max_match_loop():
     from torch_scatter import scatter
