@@ -85,6 +85,21 @@ def collective_bytes(n, batch, n_pad, feat_dim):
     return (ag + rs) * n                             # total over the mesh
 
 
+def edgepart_collective_bytes(n, batch, n_pad, feat_dim, k, fetch_cap, t=1):
+    """Per-step exchanged bytes of the fully edge-partitioned step
+    (edgepart.make_edgepart_train_step): table-row gather (ids + scores),
+    adjacency-row fetch (nbrs + degrees), feature rows — each an
+    all_gather of requests + psum_scatter of responses."""
+    bl = batch // n
+    per_dev = 0
+    per_dev += (n - 1) * bl * t * 4 + (n - 1) * bl * t * k * 8   # tables
+    per_dev += (n - 1) * bl * n_pad * 4                          # adj req
+    per_dev += (n - 1) * bl * n_pad * (fetch_cap * 4 + 4)        # adj resp
+    per_dev += (n - 1) * bl * n_pad * 4                          # feat req
+    per_dev += (n - 1) * bl * n_pad * feat_dim * 4               # feat resp
+    return per_dev * n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=50000)
@@ -121,6 +136,18 @@ def main():
         row["sharded_step_ms"] = round(ms, 2)
         row["sharded_collective_MB"] = round(
             collective_bytes(n, args.batch, n_pad, feat_dim) / 1e6, 3)
+        from shadow_gnn_tpu.parallel.edgepart import make_edgepart_train_step
+        step, shard, repl = make_edgepart_train_step(tr, TRAIN, n)
+        ms = time_steps(step, repl(tr.params), repl(tr.opt_state),
+                        shard(xs_np), args.steps)
+        row["edgepart_step_ms"] = round(ms, 2)
+        cfg0 = tr.branches[0]["cfg"][TRAIN]
+        fc = cfg0.deg_cap if (cfg0.induction == "hub"
+                              and cfg0.deg_cap > 0) else tr.graph[TRAIN].max_deg
+        row["edgepart_collective_MB"] = round(
+            edgepart_collective_bytes(n, args.batch, n_pad, feat_dim,
+                                      cfg0.k, min(fc, tr.graph[TRAIN].max_deg)
+                                      ) / 1e6, 3)
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -130,6 +157,8 @@ def main():
         row["dp_eff"] = round(t1["dp_step_ms"] / (n * row["dp_step_ms"]), 3)
         row["sharded_eff"] = round(
             t1["sharded_step_ms"] / (n * row["sharded_step_ms"]), 3)
+        row["edgepart_eff"] = round(
+            t1["edgepart_step_ms"] / (n * row["edgepart_step_ms"]), 3)
     print(json.dumps({"curve": results}))
 
 

@@ -394,6 +394,181 @@ def sample_nodes_khop_edgepart(cfg: SamplerConfig,
 
 
 # ---------------------------------------------------------------------------
+# distributed full-graph SpMM (ring-overlapped)
+# ---------------------------------------------------------------------------
+
+def bucket_edges(src: np.ndarray, dst: np.ndarray, val: np.ndarray,
+                 num_rows: int, n_shards: int):
+    """Partition an edge list for the ring SpMM (host side).
+
+    Edges go to the shard owning their src row; within a shard they are
+    bucketed by the shard owning their dst column.  Bucket (i, q) is
+    processed at ring step s = (q - i) mod S, when shard i holds x-chunk
+    q — so each edge is touched exactly once and per-step compute is
+    ~E/S² per device.  Returns (srcb, dstb, valb [S, S, E_b], n_local)
+    with src rebased to the shard, dst rebased to the chunk, zero-valued
+    padding.
+    """
+    nl = -(-num_rows // n_shards)
+    own = src // nl
+    buck = dst // nl
+    gid = own * n_shards + buck                       # group per edge
+    order = np.argsort(gid, kind="stable")
+    gid_s = gid[order]
+    n_groups = n_shards * n_shards
+    counts = np.bincount(gid_s, minlength=n_groups)
+    e_b = max(1, int(counts.max()))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(gid_s.size) - starts[gid_s]    # rank inside group
+    flat_pos = gid_s * e_b + within
+    srcb = np.zeros((n_groups * e_b,), np.int32)
+    dstb = np.zeros((n_groups * e_b,), np.int32)
+    valb = np.zeros((n_groups * e_b,), np.float32)
+    srcb[flat_pos] = (src[order] - own[order] * nl).astype(np.int32)
+    dstb[flat_pos] = (dst[order] - buck[order] * nl).astype(np.int32)
+    valb[flat_pos] = val[order]
+    shape = (n_shards, n_shards, e_b)
+    return (srcb.reshape(shape), dstb.reshape(shape), valb.reshape(shape),
+            nl)
+
+
+def ring_spmm(x_local: jax.Array, srcb: jax.Array, dstb: jax.Array,
+              valb: jax.Array, axis: str) -> jax.Array:
+    """Y = A @ X with A edge-partitioned and X row-sharded (in shard_map).
+
+    x_local [n_local, F] — this device's X rows; srcb/dstb/valb
+    [S, E_b] — this device's edge buckets by dst shard (bucket_edges).
+    The X shards rotate around the ring with ppermute while each device
+    segment-sums the bucket matching the chunk it currently holds: the
+    chunk transfer has no dataflow into the current step's compute, so
+    XLA overlaps the ICI permute with the local aggregation — the
+    distributed-SpMM form of "boundary features over ICI overlapped
+    with local aggregation" used by smoothening preprocessing, label
+    propagation, and Correct&Smooth at papers100M scale.
+    """
+    s_dev = jax.lax.axis_size(axis)
+    i = jax.lax.axis_index(axis)
+    nl = x_local.shape[0]
+    perm = [(j, (j - 1) % s_dev) for j in range(s_dev)]
+
+    def body(carry, s):
+        y, chunk = carry
+        q = jax.lax.rem(i + s, s_dev)
+        sl = jnp.take(srcb, q, axis=0)
+        dl = jnp.take(dstb, q, axis=0)
+        vl = jnp.take(valb, q, axis=0)
+        contrib = vl[:, None] * chunk[jnp.clip(dl, 0, nl - 1)]
+        y = y + jax.ops.segment_sum(contrib, sl, num_segments=nl)
+        chunk = jax.lax.ppermute(chunk, axis, perm)
+        return (y, chunk), None
+
+    y0 = jnp.zeros_like(x_local)
+    (y, _), _ = jax.lax.scan(
+        body, (y0, x_local), jnp.arange(s_dev, dtype=jnp.int32))
+    return y
+
+
+def make_ring_spmm(src: np.ndarray, dst: np.ndarray, val: np.ndarray,
+                   num_rows: int, n_devices: int, axis: str = "dp"):
+    """Build a jitted distributed Y = A @ X over an n-device mesh.
+
+    Returns ``fn(x) -> y`` taking/returning [num_rows, F] (host or
+    device); internally rows are padded to the mesh and sharded
+    P(axis); semantics match ops.spmm.spmm_edges exactly
+    (Y[src] += val * X[dst]).
+    """
+    devs = np.array(jax.devices()[:n_devices])
+    mesh = Mesh(devs, (axis,))
+    rshard = NamedSharding(mesh, P(axis, None))
+    srcb, dstb, valb, nl = bucket_edges(src, dst, val, num_rows, n_devices)
+    bufs = tuple(jax.device_put(jnp.asarray(b), rshard)
+                 for b in (srcb, dstb, valb))
+
+    inner = jax.jit(jax.shard_map(
+        lambda x, sb, db, vb: ring_spmm(x, sb[0], db[0], vb[0], axis),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None)),
+        out_specs=P(axis, None), check_vma=False))
+
+    n_pad = nl * n_devices
+
+    def fn(x):
+        x = jnp.asarray(x)
+        if x.shape[0] < n_pad:
+            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+        x = jax.device_put(x, rshard)
+        return inner(x, *bufs)[:num_rows]
+
+    return fn
+
+
+def distributed_outcome_correlation(indptr, indices, y0: np.ndarray,
+                                    n_prop: int = 50, alpha: float = 0.8,
+                                    use_norm: bool = False,
+                                    clamp=(0.0, 1.0), n_devices: int = 8,
+                                    axis: str = "dp") -> np.ndarray:
+    """Correct&Smooth outcome correlation as a distributed SpMM scan.
+
+    Same semantics as postproc.cns.general_outcome_correlation (DGL
+    mean over in-edges with reverse+self edges), but the propagation
+    matrix is edge-partitioned and Y is row-sharded: the whole n_prop
+    scan runs inside one shard_map program with the ring exchange
+    overlapped per step; only elementwise work touches each shard
+    between rings.
+    """
+    from shadow_gnn_tpu.postproc.cns import _cs_edges
+
+    n = indptr.size - 1
+    src, dst = _cs_edges(indptr, indices)
+    in_deg = np.zeros(n, np.float32)
+    np.add.at(in_deg, dst, 1.0)
+    in_deg = np.clip(in_deg, 1.0, None)
+    # rows = dst (aggregation target), gather src
+    w = (1.0 / in_deg[dst]).astype(np.float32)
+    srcb, dstb, valb, nl = bucket_edges(dst.astype(np.int64),
+                                        src.astype(np.int64), w, n,
+                                        n_devices)
+    devs = np.array(jax.devices()[:n_devices])
+    mesh = Mesh(devs, (axis,))
+    rshard = NamedSharding(mesh, P(axis, None))
+    bufs = tuple(jax.device_put(jnp.asarray(b), rshard)
+                 for b in (srcb, dstb, valb))
+    n_pad = nl * n_devices
+    deg_pad = np.ones(n_pad, np.float32)
+    deg_pad[:n] = in_deg
+    deg_sh = jax.device_put(jnp.asarray(deg_pad), NamedSharding(mesh,
+                                                                P(axis)))
+    y0p = np.zeros((n_pad, y0.shape[1]), np.float32)
+    y0p[:n] = y0
+    y0_sh = jax.device_put(jnp.asarray(y0p), rshard)
+
+    def run(y0j, deg_j, sb, db, vb):
+        sb, db, vb = sb[0], db[0], vb[0]
+
+        def body(y, _):
+            if use_norm:
+                y = y * jax.lax.rsqrt(deg_j)[:, None]
+            y = ring_spmm(y, sb, db, vb, axis)
+            if use_norm:
+                y = y * jnp.sqrt(deg_j)[:, None]
+            y = alpha * y + (1 - alpha) * y0j
+            if clamp is not None:
+                y = jnp.clip(y, clamp[0], clamp[1])
+            return y, None
+
+        y, _ = jax.lax.scan(body, y0j, None, length=n_prop)
+        return y
+
+    out = jax.jit(jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None)),
+        out_specs=P(axis, None), check_vma=False))(y0_sh, deg_sh, *bufs)
+    return np.asarray(out)[:n]
+
+
+# ---------------------------------------------------------------------------
 # full training step (graph + features + tables all partitioned)
 # ---------------------------------------------------------------------------
 

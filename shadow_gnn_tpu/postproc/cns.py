@@ -38,9 +38,21 @@ def _cs_edges(indptr: np.ndarray, indices: np.ndarray):
 def general_outcome_correlation(indptr, indices, y0: np.ndarray,
                                 n_prop: int = 50, alpha: float = 0.8,
                                 use_norm: bool = False,
-                                clamp: Optional[Tuple[float, float]] = (0., 1.)
-                                ) -> np.ndarray:
-    """y <- alpha * A_mean y + (1-alpha) y0, n_prop times."""
+                                clamp: Optional[Tuple[float, float]] = (0., 1.),
+                                n_shards: int = 0) -> np.ndarray:
+    """y <- alpha * A_mean y + (1-alpha) y0, n_prop times.
+
+    ``n_shards`` > 0 runs the whole propagation edge-partitioned over an
+    n-device mesh (parallel/edgepart.py): propagation matrix and y rows
+    sharded, ring exchange overlapped with the local aggregation — the
+    papers100M-scale C&S configuration.
+    """
+    if n_shards:
+        from shadow_gnn_tpu.parallel.edgepart import (
+            distributed_outcome_correlation)
+        return distributed_outcome_correlation(
+            indptr, indices, y0, n_prop=n_prop, alpha=alpha,
+            use_norm=use_norm, clamp=clamp, n_devices=n_shards)
     n = indptr.size - 1
     src, dst = _cs_edges(indptr, indices)
     # DGL mean over in-edges: y'[v] = mean_{u->v} y[u]

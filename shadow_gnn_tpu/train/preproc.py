@@ -72,19 +72,34 @@ def _norm_edges(indptr, indices, type_norm: str, add_self_edge: bool = False):
 
 
 def smooth_signal_full(indptr, indices, signal: np.ndarray, type_norm: str,
-                       order: int, reduction: str, args: Dict) -> np.ndarray:
-    """Full-graph transductive smoothening (preproc.py:143-165)."""
+                       order: int, reduction: str, args: Dict,
+                       n_shards: int = 0) -> np.ndarray:
+    """Full-graph transductive smoothening (preproc.py:143-165).
+
+    ``n_shards`` > 0 runs every SpMM pass edge-partitioned over an
+    n-device mesh (parallel/edgepart.py ring SpMM) — the papers100M
+    configuration where the propagation matrix and signal rows are
+    sharded and the ring exchange overlaps local aggregation.
+    """
     n = indptr.size - 1
     x = jnp.asarray(signal.astype(np.float32))
+
+    def _make_sp(src, dst, val):
+        if n_shards:
+            from shadow_gnn_tpu.parallel.edgepart import make_ring_spmm
+            return make_ring_spmm(src, dst, val, n, n_shards)
+        s, d, v = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val)
+        return lambda z: spmm_edges(s, d, v, z, n)
+
     if type_norm == "ppr":
         alpha_int = 1.0 - args["alpha"]     # flipped like preproc.py:28
         src, dst, val = _norm_edges(indptr, indices, args["norm_adj"],
                                     add_self_edge=args["norm_adj"] == "sym")
-        s, d, v = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val)
+        sp = _make_sp(src, dst, val)
         h = x
         z = h
         for _ in range(args["itr_max"]):
-            zk = (1 - alpha_int) * spmm_edges(s, d, v, z, n) + alpha_int * h
+            zk = (1 - alpha_int) * sp(z) + alpha_int * h
             delta = float(jnp.linalg.norm(z - zk))
             z = zk
             if delta < args["thres"]:
@@ -106,11 +121,11 @@ def smooth_signal_full(indptr, indices, signal: np.ndarray, type_norm: str,
     # sym / rw, K orders
     src, dst, val = _norm_edges(indptr, indices, type_norm,
                                 add_self_edge=False)
-    s, d, v = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val)
+    sp = _make_sp(src, dst, val)
     outs = [np.asarray(x)]
     cur = x
     for _ in range(order):
-        cur = spmm_edges(s, d, v, cur, n)
+        cur = sp(cur)
         outs.append(np.asarray(cur))
     if reduction in ("cat", "concat"):
         return np.concatenate(outs, axis=1)

@@ -314,3 +314,46 @@ def test_edgepart_train_step_khop(tmp_path):
         losses.append(float(loss))
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_ring_spmm_matches_spmm_edges(mesh8):
+    rng = np.random.default_rng(7)
+    n, f, e = 203, 5, 1200
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    val = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    fn = ep.make_ring_spmm(src, dst, val, n, 8)
+    got = np.asarray(fn(x))
+    from shadow_gnn_tpu.ops.spmm import spmm_edges
+    want = np.asarray(spmm_edges(jnp.asarray(src.astype(np.int32)),
+                                 jnp.asarray(dst.astype(np.int32)),
+                                 jnp.asarray(val), jnp.asarray(x), n))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("type_norm", ["sym", "ppr"])
+def test_distributed_smoothening_matches_single(type_norm):
+    from shadow_gnn_tpu.train.preproc import smooth_signal_full
+    rng = np.random.default_rng(8)
+    indptr, indices = _undirected_csr(150, 6, rng)
+    sig = rng.normal(size=(150, 4)).astype(np.float32)
+    args = {"alpha": 0.9, "norm_adj": "sym", "itr_max": 5, "thres": 1e-9,
+            "norm_feat": "none"}
+    want = smooth_signal_full(indptr, indices, sig, type_norm, 2, "concat",
+                              args)
+    got = smooth_signal_full(indptr, indices, sig, type_norm, 2, "concat",
+                             args, n_shards=8)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_distributed_cns_matches_single():
+    from shadow_gnn_tpu.postproc.cns import general_outcome_correlation
+    rng = np.random.default_rng(9)
+    indptr, indices = _undirected_csr(120, 5, rng)
+    y0 = rng.uniform(size=(120, 6)).astype(np.float32)
+    want = general_outcome_correlation(indptr, indices, y0, n_prop=10,
+                                       alpha=0.8, use_norm=True)
+    got = general_outcome_correlation(indptr, indices, y0, n_prop=10,
+                                      alpha=0.8, use_norm=True, n_shards=8)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
