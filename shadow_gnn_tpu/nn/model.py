@@ -100,7 +100,13 @@ class DeepGNN(nn.Module):
         conv_defs = None
         for i in range(cfg.num_ensemble):
             batch, feat = batches[i], feats[i]
-            feat = (feat * batch.node_mask[..., None]).astype(cdt)
+            feat = feat * batch.node_mask[..., None].astype(feat.dtype)
+            if not (feat.dtype == jnp.bfloat16 and cdt == jnp.float32):
+                feat = feat.astype(cdt)
+            # else: defer the bf16->f32 widening to the consumers (first
+            # conv matmul / aug add), where XLA fuses the convert for
+            # free instead of materializing an f32 copy of [B, N, F];
+            # value-identical since widening is exact
             # zero label inputs at targets during training (models.py:182).
             # ``mode_train`` may be a TRACED scalar so one compiled eval
             # program serves VALID/TEST and final TRAIN-mode passes alike.
