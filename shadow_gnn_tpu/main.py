@@ -85,6 +85,15 @@ def build_argparser():
                    help="initialize jax.distributed (multi-host) from "
                         "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
                         "JAX_PROCESS_ID or TPU-pod auto-detection")
+    p.add_argument("--partition", type=str, default="none",
+                   choices=["none", "dp", "feat", "edge"],
+                   help="multi-device TRAIN epochs: dp = data-parallel "
+                        "(replicated storage), feat = + row-sharded "
+                        "feature table, edge = fully edge-partitioned "
+                        "graph (CSR + features + PPR tables sharded, "
+                        "collective row fetches)")
+    p.add_argument("--partition_devices", type=int, default=0,
+                   help="mesh size for --partition (0 = all devices)")
     return p
 
 
@@ -187,7 +196,9 @@ def main(argv=None):
                       fused_gat=args.fused_gat,
                       compute_dtype=args.compute_dtype,
                       feat_dtype=args.feat_dtype,
-                      prng_impl=args.prng)
+                      prng_impl=args.prng,
+                      partition=args.partition,
+                      partition_devices=args.partition_devices)
     trainer.trace_dir = args.trace_dir
     trainer.eval_train_every = max(1, args.eval_train_every)
     trainer.chunk_batches = max(0, args.chunk_batches)

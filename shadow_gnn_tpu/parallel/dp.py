@@ -29,13 +29,17 @@ def make_mesh(n_devices: int) -> Mesh:
     return Mesh(devs, ("dp",))
 
 
-def make_dp_train_step(trainer, mode: int, n_devices: int):
+def make_dp_train_step(trainer, mode: int, n_devices: int,
+                       return_logits: bool = False):
     """Returns (step_fn, shard_batch, replicate).
 
     step_fn(params, opt_state, rng, roots, rows, labels, w) runs ONE
     data-parallel training step: on-device sampling + induction +
     forward/backward on each shard of the batch, gradients all-reduced
-    by GSPMD, replicated Adam update.
+    by GSPMD, replicated Adam update.  With ``return_logits`` the step
+    additionally returns the batch logits (sharded over dp) so the
+    driver's metrics/logging pipeline can consume partition-mode
+    epochs.
     """
     mesh = make_mesh(n_devices)
     repl = NamedSharding(mesh, P())
@@ -69,18 +73,22 @@ def make_dp_train_step(trainer, mode: int, n_devices: int):
             logits, _ = model.apply(p, batches, feats, mode_train=True,
                                     train=True,
                                     rngs={"dropout": r_do, "dropedge": r_de})
-            return weighted_loss_fn(cfg_m, logits, labels, w)
+            return weighted_loss_fn(cfg_m, logits, labels, w), logits
 
-        loss, grads = jax.value_and_grad(lf)(params)
+        (loss, logits), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         import optax
         params = optax.apply_updates(params, updates)
+        if return_logits:
+            return params, opt_state, loss, logits
         return params, opt_state, loss
 
+    out_sh = ((repl, repl, repl, bshard) if return_logits
+              else (repl, repl, repl))
     step_inner = jax.jit(
         _step,
         in_shardings=(repl, repl, repl, bshard, bshard, bshard, bshard, repl),
-        out_shardings=(repl, repl, repl),
+        out_shardings=out_sh,
     )
 
     def step(params, opt_state, rng, roots, rows, labels, w):

@@ -574,7 +574,8 @@ def distributed_outcome_correlation(indptr, indices, y0: np.ndarray,
 
 def make_edgepart_train_step(trainer, mode: int, n_devices: int,
                              axis: str = "dp",
-                             fetch_cap: Optional[int] = None):
+                             fetch_cap: Optional[int] = None,
+                             return_logits: bool = False):
     """DP training step with the graph CSR, the feature table, and the
     PPR tables ALL row-sharded over the mesh — nothing graph-sized is
     replicated.  Per-batch boundary exchanges: table-row gather (GSPMD,
@@ -690,23 +691,27 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             logits, _ = model.apply(p, batches, feats, mode_train=True,
                                     train=True,
                                     rngs={"dropout": r_do, "dropedge": r_de})
-            return weighted_loss_fn(cfg_m, logits, labels, w)
+            return weighted_loss_fn(cfg_m, logits, labels, w), logits
 
-        loss, grads = jax.value_and_grad(lf)(params)
+        (loss, logits), grads = jax.value_and_grad(lf, has_aux=True)(params)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if return_logits:
+            return params, opt_state, loss, logits
         return params, opt_state, loss
 
     n_slice = len(cfgs)
+    out_specs = ((P(), P(), P(), P(axis)) if return_logits
+                 else (P(), P(), P()))
     inner = jax.shard_map(
         _inner, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
                   tuple((P(axis, None), P(axis, None))
                         for _ in range(n_slice)),
                   P(axis, None), P(axis, None), P(axis, None)),
-        out_specs=(P(), P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
 

@@ -53,7 +53,8 @@ def sharded_feat_gather(feat_local: jax.Array, nodes: jax.Array,
 
 
 def make_sharded_train_step(trainer, mode: int, n_devices: int,
-                            axis: str = "dp"):
+                            axis: str = "dp",
+                            return_logits: bool = False):
     """Full DP training step with a ROW-SHARDED feature table.
 
     Unlike parallel/dp.py (features replicated), the node-feature table
@@ -114,20 +115,24 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
             logits, _ = model.apply(p, batches, feats, mode_train=True,
                                     train=True,
                                     rngs={"dropout": r_do, "dropedge": r_de})
-            return weighted_loss_fn(cfg_m, logits, labels, w)
+            return weighted_loss_fn(cfg_m, logits, labels, w), logits
 
-        loss, grads = jax.value_and_grad(lf)(params)
+        (loss, logits), grads = jax.value_and_grad(lf, has_aux=True)(params)
         grads = jax.lax.pmean(grads, axis)        # DP gradient all-reduce
         loss = jax.lax.pmean(loss, axis)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if return_logits:
+            return params, opt_state, loss, logits
         return params, opt_state, loss
 
+    out_specs = ((P(), P(), P(), P(axis)) if return_logits
+                 else (P(), P(), P()))
     sharded = jax.jit(jax.shard_map(
         _step, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
                   P(axis, None), P(), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     ))
 

@@ -92,7 +92,8 @@ class Trainer:
                  matmul_precision: Optional[str] = None,
                  packed_adj: bool = False, compute_dtype: str = "float32",
                  prng_impl: Optional[str] = None, fused_gat: bool = False,
-                 feat_dtype: str = "float32"):
+                 feat_dtype: str = "float32", partition: str = "none",
+                 partition_devices: int = 0):
         if prng_impl:
             # counter-based RBG instead of threefry for dropout/dropedge
             # mask generation: measured 31.4k -> 43.5k subgraphs/s on the
@@ -174,6 +175,16 @@ class Trainer:
         if feat_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported feat_dtype {feat_dtype!r}")
         self.feat_dtype = feat_dtype
+        # multi-device TRAIN epochs: 'dp' (replicated storage, GSPMD
+        # gradient all-reduce), 'feat' (row-sharded feature table), or
+        # 'edge' (fully edge-partitioned graph — parallel/edgepart.py).
+        # Eval epochs stay on the single-program path with the updated
+        # (replicated) parameters.
+        if partition not in ("none", "dp", "feat", "edge"):
+            raise ValueError(f"unsupported partition {partition!r}")
+        self.partition = partition
+        self.partition_devices = partition_devices
+        self._partition_fns: Dict[int, Any] = {}
         self.feat_tab = jnp.asarray(
             self.feat_np,
             dtype=jnp.bfloat16 if feat_dtype == "bfloat16" else None)
@@ -961,6 +972,52 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------------
+    def _run_partition_epoch(self, mode, nb, roots, rows, labels, w, rng):
+        """TRAIN epoch over the multi-device partition step.
+
+        One per-batch dispatch per step (the partition steps are
+        per-batch shard_map/GSPMD programs, not epoch scans); parameters
+        live replicated on the mesh across the epoch and are pulled back
+        to the default device at the end so eval epochs and
+        checkpointing see ordinary arrays.
+        """
+        if mode not in self._partition_fns:
+            n = self.partition_devices or len(jax.devices())
+            if self.partition == "dp":
+                from shadow_gnn_tpu.parallel.dp import make_dp_train_step
+                step, shard, repl = make_dp_train_step(
+                    self, mode, n, return_logits=True)
+            elif self.partition == "feat":
+                from shadow_gnn_tpu.parallel.partition import (
+                    make_sharded_train_step)
+                step, shard, repl, _ = make_sharded_train_step(
+                    self, mode, n, return_logits=True)
+            else:
+                from shadow_gnn_tpu.parallel.edgepart import (
+                    make_edgepart_train_step)
+                step, shard, repl = make_edgepart_train_step(
+                    self, mode, n, return_logits=True)
+            self._partition_fns[mode] = (step, shard, repl)
+        step, shard, repl = self._partition_fns[mode]
+        params = repl(self.params)
+        opt_state = repl(self.opt_state)
+        losses, preds = [], []
+        for ib in range(nb):
+            xs = shard((roots[ib], rows[ib], labels[ib], w[ib]))
+            params, opt_state, loss, logits = step(
+                params, opt_state, jax.random.fold_in(rng, ib), *xs)
+            losses.append(loss)
+            preds.append(np.asarray(predict_fn(self.model_cfg, logits)))
+        # back to ordinary default-device arrays for eval/checkpointing
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), params)
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), opt_state)
+        losses = np.asarray([float(x) for x in losses])
+        preds = np.stack(preds)
+        return losses, preds
+
+    # ------------------------------------------------------------------
     def run_epoch(self, epoch: int, mode: int, status: str = "running"):
         self._ensure_tables(mode)
         self._ensure_caches(mode)
@@ -986,7 +1043,11 @@ class Trainer:
         if do_trace:
             jax.profiler.start_trace(self.trace_dir)
         t0 = time.time()
-        if self.chunk_batches > 0 and not train:
+        if train and self.partition != "none":
+            losses, preds = self._run_partition_epoch(
+                mode, nb, roots, rows, labels_dev, w_dev, rng)
+            ovf = 0
+        elif self.chunk_batches > 0 and not train:
             losses, preds, ovf = self._run_chunks(
                 mode, train, nb, roots, rows, labels_dev, w_dev, rng)
         else:

@@ -134,3 +134,19 @@ def test_multihost_glue_single_process(tmp_path):
     p2, o2, loss = step(replicate(tr.params), replicate(tr.opt_state),
                         jax.random.PRNGKey(0), *xs)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("partition", ["dp", "feat", "edge"])
+def test_partition_train_epochs(tmp_path, partition):
+    """Trainer-level multi-device TRAIN epochs (--partition): losses
+    drop across epochs, eval epochs consume the updated params, and
+    the logged stats stay finite."""
+    tr = _tiny_trainer(tmp_path, batch_size=16, partition=partition,
+                       partition_devices=8)
+    from shadow_gnn_tpu import TRAIN, VALID
+    s0 = tr.run_epoch(0, TRAIN)
+    s1 = tr.run_epoch(1, TRAIN)
+    sv = tr.run_epoch(1, VALID)
+    assert np.isfinite(s0["loss"]) and np.isfinite(sv["loss"])
+    assert s1["loss"] < s0["loss"], (s0, s1)
+    assert 0.0 <= sv["accuracy"] <= 1.0
