@@ -42,8 +42,34 @@ def time_host_reference_sampler(indptr, indices, tab_n, roots, k):
     return time.time() - t0
 
 
+def probe_device(timeout_s: int = 180) -> bool:
+    """Run a tiny matmul on the default platform in a THROWAWAY
+    subprocess with a hard timeout.  The axon TPU tunnel has been
+    observed to die for hours at a time, hanging any program that
+    touches the backend — without this guard the bench would produce no
+    JSON line at all.  (Subprocess so a hung probe can be killed and so
+    the parent's backend is untouched; it exits before the parent's
+    first device use, respecting the one-TPU-process rule.)"""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
+            "print(float((x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    device_ok = probe_device()
+    if not device_ok:
+        print("[bench] WARNING: default platform unreachable (probe hung); "
+              "falling back to CPU", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    if not device_ok:
+        jax.config.update("jax_platforms", "cpu")
     # persistent XLA compile cache: first-ever run pays the (multi-minute)
     # epoch-program compile; subsequent runs reuse it
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -165,7 +191,9 @@ def main():
         "unit": "subgraphs/s",
         "vs_baseline": round(vs_baseline, 3),
         "detail": {
-            "platform": platform,
+            "platform": (platform if device_ok
+                         else f"{platform} (FALLBACK: default device "
+                              "unreachable — not a TPU number)"),
             "epoch_s": round(t_epoch, 3),
             "cold_epoch_s": round(t_epoch_cold, 3),
             "cold_subg_per_s": round(cold_subg_per_s, 1),
