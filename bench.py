@@ -83,14 +83,18 @@ def main():
     from shadow_gnn_tpu import TRAIN
 
     platform = jax.devices()[0].platform
-    # flickr-scale synthetic graph: 89k nodes, avg deg 10
-    num_nodes = 89_250
+    # flickr-scale synthetic graph: 89k nodes, avg deg 10.  The CPU
+    # fallback shrinks the workload so the (clearly labeled, non-TPU)
+    # line still prints in minutes rather than hitting the driver's
+    # time limit.
+    num_nodes = 89_250 if device_ok else 20_000
+    n_roots = 8192 if device_ok else 2048
     g = make_synthetic_dataset(num_nodes=num_nodes, avg_deg=10.0,
                                num_feat=500, num_classes=7, seed=0,
                                power_law=False)
     # throughput is per-step: an 8k-root epoch measures it as well as a
     # 44k-root one and keeps the one-time PPR precompute short
-    g.node_set[TRAIN] = g.node_set[TRAIN][:8192]
+    g.node_set[TRAIN] = g.node_set[TRAIN][:n_roots]
     cfg = {
         "data": {"transductive": True},
         "architecture": {
@@ -111,7 +115,8 @@ def main():
     # flagship perf settings: counter-based RBG PRNG (threefry bit-gen
     # alone was 28% of the step) + bf16 MXU passes for f32 matmuls
     # (the same trade PyTorch makes with TF32-by-default on Ampere)
-    tr = Trainer("bench89k", "/tmp/shadow_bench_cache", g, parsed, metrics,
+    tr = Trainer(f"bench{num_nodes // 1000}k", "/tmp/shadow_bench_cache",
+                 g, parsed, metrics,
                  logger, seed=0, use_device_ppr=False, prng_impl="rbg",
                  matmul_precision="bfloat16")
     tr._ensure_tables(TRAIN)

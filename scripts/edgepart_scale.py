@@ -76,7 +76,11 @@ def main():
     m = Metrics("epscale", False, "accuracy", 1)
     logger = Logger(m, "/tmp/edgepart_scale_run", no_log=True)
     t0 = time.time()
-    tr = Trainer("epscale", "", g, parsed, m, logger, seed=0)
+    # native host push for the PPR tables: the device power iteration
+    # materializes [T, N] dense iterates — fine on a TPU, pathological
+    # on this script's CPU-mesh backend
+    tr = Trainer("epscale", "", g, parsed, m, logger, seed=0,
+                 use_device_ppr=False)
     tr._ensure_tables(TRAIN)
     print(f"init + PPR tables: {time.time()-t0:.0f}s", flush=True)
     scfg = tr.branches[0]["cfg"][TRAIN]

@@ -599,6 +599,11 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
     rshard = NamedSharding(mesh, P(axis, None))
 
     trainer._ensure_tables(mode)
+    if not getattr(trainer, "undirected", True):
+        # induce_edgepart symmetrizes small->hub edges found from one
+        # side only, which assumes every edge has a reverse
+        raise ValueError("the edge-partitioned path requires an "
+                         "undirected graph (like the 'hub' induction)")
     g = trainer.graph[mode]
     num_nodes = trainer.num_nodes
     csr = shard_csr(np.asarray(g.indptr), np.asarray(g.indices), n_devices)

@@ -192,8 +192,14 @@ class Trainer:
         self.branches = self._build_branches()
         self.num_ensemble = len(self.branches)
         # PPR tables per (mode, branch)
-        self.use_device_ppr = (use_device_ppr if use_device_ppr is not None
-                               else self.num_nodes > 200_000)
+        # auto: batched power iteration on an accelerator for big
+        # graphs, native host push otherwise.  The device path
+        # materializes [T_chunk, N] dense iterates — right for TPU HBM
+        # bandwidth, pathological on the CPU backend at large N.
+        self.use_device_ppr = (
+            use_device_ppr if use_device_ppr is not None
+            else (self.num_nodes > 200_000
+                  and jax.devices()[0].platform != "cpu"))
         self.tables: Dict[int, List[Optional[PPRTables]]] = {}
         # device subgraph cache (deterministic samplers only; the
         # reference's record/reuse machinery, minibatch.py:306-342).
