@@ -30,7 +30,7 @@ def make_mesh(n_devices: int) -> Mesh:
 
 
 def make_dp_train_step(trainer, mode: int, n_devices: int,
-                       return_logits: bool = False):
+                       return_logits: bool = False, mesh: Mesh = None):
     """Returns (step_fn, shard_batch, replicate).
 
     step_fn(params, opt_state, rng, roots, rows, labels, w) runs ONE
@@ -40,29 +40,43 @@ def make_dp_train_step(trainer, mode: int, n_devices: int,
     additionally returns the batch logits (sharded over dp) so the
     driver's metrics/logging pipeline can consume partition-mode
     epochs.
+
+    Multi-host: pass ``mesh=multihost.global_dp_mesh()``.  Replicated
+    state is then assembled with make_array_from_process_local_data
+    (every host holds the full value), and ``shard_batch`` expects each
+    process's LOCAL rows of the batch (its ``multihost.process_slice``
+    of the global batch) — no host materializes the global batch.
     """
-    mesh = make_mesh(n_devices)
+    mesh = mesh if mesh is not None else make_mesh(n_devices)
+    multi = jax.process_count() > 1
     repl = NamedSharding(mesh, P())
     bshard = NamedSharding(mesh, P("dp"))
 
+    def _put(tree, sh):
+        if not multi:
+            return jax.device_put(tree, sh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
+
     def replicate(tree):
-        return jax.device_put(tree, repl)
+        return _put(tree, repl)
 
     # pin the closed-over tables/graph replicated so GSPMD doesn't have
     # to guess a layout for the big constants
     g = trainer.graph[mode]
-    g.indptr = jax.device_put(g.indptr, repl)
-    g.indices = jax.device_put(g.indices, repl)
-    trainer.feat_tab = jax.device_put(trainer.feat_tab, repl)
+    g.indptr = _put(g.indptr, repl)
+    g.indices = _put(g.indices, repl)
+    trainer.feat_tab = _put(trainer.feat_tab, repl)
     trainer._ensure_tables(mode)
     for i, t in enumerate(trainer.tables[mode]):
         if t is not None:
             trainer.tables[mode][i] = type(t)(
-                jax.device_put(t.neighs, repl), jax.device_put(t.scores, repl))
+                _put(t.neighs, repl), _put(t.scores, repl))
 
     cfg_m = trainer.model_cfg
     model, opt = trainer.model, trainer.opt
-    arrays0 = jax.device_put(trainer._mode_arrays(mode), repl)
+    arrays0 = _put(trainer._mode_arrays(mode), repl)
 
     def _step(params, opt_state, rng, roots, rows, labels, w, arrays):
         rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
@@ -96,6 +110,10 @@ def make_dp_train_step(trainer, mode: int, n_devices: int,
                           arrays0)
 
     def shard_batch(xs: Tuple):
+        if multi:
+            from shadow_gnn_tpu.parallel import multihost as mh
+            return tuple(mh.process_local_batch(mesh, np.asarray(x))
+                         for x in xs)
         return tuple(jax.device_put(x, bshard) for x in xs)
 
     return step, shard_batch, replicate

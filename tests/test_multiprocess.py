@@ -52,6 +52,47 @@ WORKER = textwrap.dedent("""
     assert gx.shape == (40, 1)
     total = float(jax.jit(jnp.sum)(gx))
     assert total == 4 * sum(range(10)), total
+
+    # ---- REAL cross-process train step: both hosts build the same
+    # trainer (same seed), each contributes its local batch rows, the
+    # gradient all-reduce rides the gloo collective ----
+    from shadow_gnn_tpu import TRAIN
+    from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
+    from shadow_gnn_tpu.train.config import parse_config
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu.train.pipeline import Trainer
+    from shadow_gnn_tpu.parallel.dp import make_dp_train_step
+
+    g = make_synthetic_dataset(num_nodes=300, avg_deg=5, num_feat=8,
+                               num_classes=4, seed=0)
+    cfg = {"data": {"transductive": True},
+           "architecture": {"dim": 16, "aggr": "sage", "loss": "softmax",
+                            "num_layers": 2, "act": "relu",
+                            "feature_augment": "hops", "residue": "none",
+                            "pooling": "center"},
+           "hyperparameter": {"end": 1, "lr": 1e-2, "dropout": 0.0,
+                              "dropedge": 0.0, "batch_size": 8},
+           "sampler": [{"method": "ppr", "phase": "train", "k": [8],
+                        "epsilon": [1e-4]}]}
+    m = Metrics("mp", False, "accuracy", 1)
+    tr = Trainer("mp", "", g, parse_config(cfg), m,
+                 Logger(m, "/tmp/mp_log", no_log=True), seed=0,
+                 use_device_ppr=False)
+    tr._ensure_tables(TRAIN)
+    nb, roots, rows_t, labels, w, _, _ = tr._epoch_arrays(TRAIN)
+    step, shard_batch, replicate = make_dp_train_step(tr, TRAIN, 4,
+                                                      mesh=mesh)
+    params = replicate(tr.params)
+    opt_state = replicate(tr.opt_state)
+    bsl = mh.process_slice(8)               # local rows of the batch
+    xs = shard_batch((roots[0][bsl], rows_t[0][bsl],
+                      np.asarray(labels[0])[bsl], np.asarray(w[0])[bsl]))
+    params, opt_state, loss = step(params, opt_state,
+                                   jax.random.PRNGKey(0), *xs)
+    loss = float(loss)
+    assert np.isfinite(loss)
+    print(f"proc{pid} loss {loss:.6f}", flush=True)
     print(f"proc{pid} OK", flush=True)
 """)
 
@@ -91,3 +132,7 @@ def test_two_process_distributed_smoke(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
         assert f"proc{pid} OK" in out
+    # the replicated post-step loss must be IDENTICAL on both hosts
+    losses = [line.split()[-1] for out in outs for line in out.splitlines()
+              if "loss" in line]
+    assert len(losses) == 2 and losses[0] == losses[1], losses
