@@ -575,7 +575,8 @@ def distributed_outcome_correlation(indptr, indices, y0: np.ndarray,
 def make_edgepart_train_step(trainer, mode: int, n_devices: int,
                              axis: str = "dp",
                              fetch_cap: Optional[int] = None,
-                             return_logits: bool = False):
+                             return_logits: bool = False,
+                             mesh: Optional[Mesh] = None):
     """DP training step with the graph CSR, the feature table, and the
     PPR tables ALL row-sharded over the mesh — nothing graph-sized is
     replicated.  Per-batch boundary exchanges: table-row gather (GSPMD,
@@ -592,8 +593,11 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
     import optax
     from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
 
-    devs = np.array(jax.devices()[:n_devices])
-    mesh = Mesh(devs, (axis,))
+    from shadow_gnn_tpu.parallel.partition import put_global
+
+    if mesh is None:
+        devs = np.array(jax.devices()[:n_devices])
+        mesh = Mesh(devs, (axis,))
     repl = NamedSharding(mesh, P())
     bshard = NamedSharding(mesh, P(axis))
     rshard = NamedSharding(mesh, P(axis, None))
@@ -607,14 +611,15 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
     g = trainer.graph[mode]
     num_nodes = trainer.num_nodes
     csr = shard_csr(np.asarray(g.indptr), np.asarray(g.indices), n_devices)
-    csr_dev = (jax.device_put(csr.indptr, rshard),
-               jax.device_put(csr.indices, rshard))
+    csr_dev = (put_global(mesh, csr.indptr, P(axis, None)),
+               put_global(mesh, csr.indices, P(axis, None)))
 
     tab = pad_rows_to_shards(trainer.feat_np, n_devices)
     fdt = (jnp.bfloat16
            if getattr(trainer, "feat_dtype", "float32") == "bfloat16"
            else None)
-    feat_sharded = jax.device_put(jnp.asarray(tab, dtype=fdt), rshard)
+    feat_sharded = put_global(mesh, jnp.asarray(tab, dtype=fdt),
+                              P(axis, None))
 
     cfgs = tuple(br["cfg"][mode] for br in trainer.branches)
     caps = []
@@ -632,15 +637,16 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
     for i, t in enumerate(trainer.tables[mode]):
         if t is None or cfgs[i].method not in ("ppr", "ppr_st"):
             z = np.zeros((n_devices, 1), np.int32)
-            tabs_sharded.append((jax.device_put(jnp.asarray(z), rshard),
-                                 jax.device_put(
-                                     jnp.asarray(z, jnp.float32), rshard)))
+            tabs_sharded.append(
+                (put_global(mesh, jnp.asarray(z), P(axis, None)),
+                 put_global(mesh, jnp.asarray(z, jnp.float32),
+                            P(axis, None))))
         else:
             tabs_sharded.append((
-                jax.device_put(jnp.asarray(pad_rows_to_shards(
-                    np.asarray(t.neighs), n_devices)), rshard),
-                jax.device_put(jnp.asarray(pad_rows_to_shards(
-                    np.asarray(t.scores), n_devices)), rshard)))
+                put_global(mesh, jnp.asarray(pad_rows_to_shards(
+                    np.asarray(t.neighs), n_devices)), P(axis, None)),
+                put_global(mesh, jnp.asarray(pad_rows_to_shards(
+                    np.asarray(t.scores), n_devices)), P(axis, None))))
     tabs_sharded = tuple(tabs_sharded)
     n_table_rows = tuple(
         (np.asarray(t.neighs).shape[0] if t is not None else 1)
@@ -720,15 +726,24 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
         check_vma=False,
     )
 
-    @jax.jit
+    # global arrays must enter the program as ARGUMENTS: closure capture
+    # bakes them in as constants, which is illegal for arrays spanning
+    # non-addressable devices (multi-process) and serializes them into
+    # the program on the tunnel backend
+    jit_inner = jax.jit(inner)
+
     def step(params, opt_state, rng, roots, rows, labels, w):
-        return inner(params, opt_state, rng, roots, rows, labels, w,
-                     tabs_sharded, feat_sharded, *csr_dev)
+        return jit_inner(params, opt_state, rng, roots, rows, labels, w,
+                         tabs_sharded, feat_sharded, *csr_dev)
 
     def shard_batch(xs):
+        if jax.process_count() > 1:
+            from shadow_gnn_tpu.parallel import multihost as mh
+            return tuple(mh.process_local_batch(mesh, np.asarray(x), axis)
+                         for x in xs)
         return tuple(jax.device_put(x, bshard) for x in xs)
 
     def replicate(tree):
-        return jax.device_put(tree, repl)
+        return put_global(mesh, tree, P())
 
     return step, shard_batch, replicate

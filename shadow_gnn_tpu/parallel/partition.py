@@ -52,9 +52,34 @@ def sharded_feat_gather(feat_local: jax.Array, nodes: jax.Array,
     return jax.lax.psum_scatter(vals, axis, scatter_dimension=0, tiled=False)
 
 
+def put_global(mesh: Mesh, tree, spec):
+    """device_put in single-process jobs.  In multi-process jobs every
+    host passes the FULL host value; replicated leaves go through
+    make_array_from_process_local_data whole, while leaves sharded on
+    dim 0 are first sliced to this process's contiguous row block
+    (device order = process order, leading dim divisible by the process
+    count because everything is padded to the mesh size)."""
+    sh = spec if isinstance(spec, NamedSharding) else NamedSharding(mesh,
+                                                                    spec)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+    pi, pc = jax.process_index(), jax.process_count()
+    row_sharded = len(sh.spec) > 0 and sh.spec[0] is not None
+
+    def one(x):
+        x = np.asarray(x)
+        if row_sharded:
+            per = x.shape[0] // pc
+            x = x[pi * per:(pi + 1) * per]
+        return jax.make_array_from_process_local_data(sh, x)
+
+    return jax.tree_util.tree_map(one, tree)
+
+
 def make_sharded_train_step(trainer, mode: int, n_devices: int,
                             axis: str = "dp",
-                            return_logits: bool = False):
+                            return_logits: bool = False,
+                            mesh: Mesh = None):
     """Full DP training step with a ROW-SHARDED feature table.
 
     Unlike parallel/dp.py (features replicated), the node-feature table
@@ -71,8 +96,9 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
     from shadow_gnn_tpu.sampling.samplers import sample_subgraphs
     from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
 
-    devs = np.array(jax.devices()[:n_devices])
-    mesh = Mesh(devs, (axis,))
+    if mesh is None:
+        devs = np.array(jax.devices()[:n_devices])
+        mesh = Mesh(devs, (axis,))
     repl = NamedSharding(mesh, P())
     bshard = NamedSharding(mesh, P(axis))
     trainer._ensure_tables(mode)
@@ -84,12 +110,12 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
     fdt = (jnp.bfloat16
            if getattr(trainer, "feat_dtype", "float32") == "bfloat16"
            else None)
-    feat_sharded = jax.device_put(
-        jnp.asarray(tab, dtype=fdt), NamedSharding(mesh, P(axis, None)))
+    feat_sharded = put_global(mesh, jnp.asarray(tab, dtype=fdt),
+                              P(axis, None))
     graph_meta = trainer.graph[mode]
-    graph_arrays = jax.device_put(
-        (graph_meta.indptr, graph_meta.indices), repl)
-    tables = jax.device_put(tuple(trainer.tables[mode]), repl)
+    graph_arrays = put_global(
+        mesh, (graph_meta.indptr, graph_meta.indices), P())
+    tables = put_global(mesh, tuple(trainer.tables[mode]), P())
     cfg_m, model, opt = trainer.model_cfg, trainer.model, trainer.opt
     cfgs = tuple(br["cfg"][mode] for br in trainer.branches)
 
@@ -141,10 +167,14 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
                        feat_sharded, graph_arrays, tables)
 
     def shard_batch(xs):
+        if jax.process_count() > 1:
+            from shadow_gnn_tpu.parallel import multihost as mh
+            return tuple(mh.process_local_batch(mesh, np.asarray(x), axis)
+                         for x in xs)
         return tuple(jax.device_put(x, bshard) for x in xs)
 
     def replicate(tree):
-        return jax.device_put(tree, repl)
+        return put_global(mesh, tree, P())
 
     return step, shard_batch, replicate, feat_sharded
 

@@ -93,6 +93,21 @@ WORKER = textwrap.dedent("""
     loss = float(loss)
     assert np.isfinite(loss)
     print(f"proc{pid} loss {loss:.6f}", flush=True)
+
+    # ---- edge-partitioned step across processes: CSR/features/tables
+    # sharded over the 4-device global mesh, collective row fetches
+    # (all_gather/psum_scatter) riding the gloo backend ----
+    from shadow_gnn_tpu.parallel.edgepart import make_edgepart_train_step
+    step_e, shard_e, repl_e = make_edgepart_train_step(tr, TRAIN, 4,
+                                                       mesh=mesh)
+    pe = repl_e(tr.params)
+    oe = repl_e(tr.opt_state)
+    xs_e = shard_e((roots[0][bsl], rows_t[0][bsl],
+                    np.asarray(labels[0])[bsl], np.asarray(w[0])[bsl]))
+    pe, oe, loss_e = step_e(pe, oe, jax.random.PRNGKey(0), *xs_e)
+    loss_e = float(loss_e)
+    assert np.isfinite(loss_e)
+    print(f"proc{pid} eloss {loss_e:.6f}", flush=True)
     print(f"proc{pid} OK", flush=True)
 """)
 
@@ -132,7 +147,8 @@ def test_two_process_distributed_smoke(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
         assert f"proc{pid} OK" in out
-    # the replicated post-step loss must be IDENTICAL on both hosts
-    losses = [line.split()[-1] for out in outs for line in out.splitlines()
-              if "loss" in line]
-    assert len(losses) == 2 and losses[0] == losses[1], losses
+    # the replicated post-step losses must be IDENTICAL on both hosts
+    for tag in (" loss ", " eloss "):
+        vals = [line.split()[-1] for out in outs
+                for line in out.splitlines() if tag in line]
+        assert len(vals) == 2 and vals[0] == vals[1], (tag, vals)
