@@ -357,3 +357,63 @@ def test_distributed_cns_matches_single():
     got = general_outcome_correlation(indptr, indices, y0, n_prop=10,
                                       alpha=0.8, use_norm=True, n_shards=8)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_edgepart_step_two_branch_ensemble(tmp_path):
+    """ppr + ppr_st ensemble through the edge-partitioned step: both
+    branches' table collectives and the stochastic sampler's per-shard
+    rng folding run in one program."""
+    import jax.random as jr
+    tr = _tiny_trainer(
+        tmp_path, batch_size=8,
+        sampler=[{"method": "ppr", "phase": "train", "k": [8],
+                  "epsilon": [1e-5]},
+                 {"method": "ppr_st", "phase": "train", "k": [6],
+                  "epsilon": [1e-5]}])
+    tr._ensure_tables(TRAIN)
+    nb, roots, rows, labels, w, _, _ = tr._epoch_arrays(TRAIN)
+    step, shard_batch, replicate = ep.make_edgepart_train_step(tr, TRAIN, 8)
+    params = replicate(tr.params)
+    opt_state = replicate(tr.opt_state)
+    losses = []
+    for ib in range(min(nb, 4)):
+        xs = shard_batch((roots[ib], rows[ib], labels[ib], w[ib]))
+        params, opt_state, loss = step(params, opt_state, jr.PRNGKey(ib),
+                                       *xs)
+        losses.append(float(loss))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_partition_link_task_epoch(tmp_path):
+    """Link-prediction task (2-target subgraphs, DRNL, per-epoch
+    negative sampling) through the --partition edge TRAIN path."""
+    from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
+    from shadow_gnn_tpu.train.config import parse_config
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu.train.pipeline import Trainer
+    g = make_synthetic_dataset(num_nodes=300, avg_deg=6, num_feat=8,
+                               num_classes=2, seed=0, task="link")
+    cfg = {
+        "data": {"transductive": True},
+        "architecture": {"dim": 16, "aggr": "sage", "loss": "sigmoid",
+                         "num_layers": 2, "act": "relu",
+                         "feature_augment": "drnls", "residue": "none",
+                         "pooling": "center"},
+        "hyperparameter": {"end": 1, "lr": 1e-2, "dropout": 0.0,
+                           "dropedge": 0.0, "batch_size": 16},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [8],
+                     "epsilon": [1e-5]}],
+    }
+    parsed = parse_config(cfg)
+    m = Metrics("toylink", True, "hits20", 1)
+    logger = Logger(m, str(tmp_path), no_log=True)
+    tr = Trainer("toylink", "", g, parsed, m, logger, seed=0,
+                 use_device_ppr=False, partition="edge",
+                 partition_devices=8)
+    from shadow_gnn_tpu import TRAIN
+    s0 = tr.run_epoch(0, TRAIN)
+    s1 = tr.run_epoch(1, TRAIN)
+    assert np.isfinite(s0["loss"]) and np.isfinite(s1["loss"])
+    assert s1["loss"] < s0["loss"], (s0, s1)
