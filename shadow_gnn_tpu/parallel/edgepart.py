@@ -576,7 +576,8 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
                              axis: str = "dp",
                              fetch_cap: Optional[int] = None,
                              return_logits: bool = False,
-                             mesh: Optional[Mesh] = None):
+                             mesh: Optional[Mesh] = None,
+                             train: bool = True):
     """DP training step with the graph CSR, the feature table, and the
     PPR tables ALL row-sharded over the mesh — nothing graph-sized is
     replicated.  Per-batch boundary exchanges: table-row gather (GSPMD,
@@ -588,7 +589,10 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
     one-hot densification einsums (the "boundary features over ICI
     overlapped with local aggregation" of the north-star design).
 
-    Returns (step_fn, shard_batch, replicate).
+    Returns (step_fn, shard_batch, replicate).  With ``train=False``
+    the step is an EVAL pass — ``step(params, rng, roots, rows,
+    labels, w) -> (loss, logits)`` with no optimizer state — so
+    beyond-single-chip graphs never need a single-device eval program.
     """
     import optax
     from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
@@ -654,12 +658,7 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
     cfg_m, model, opt = trainer.model_cfg, trainer.model, trainer.opt
     sgraph = SimpleNamespace(num_nodes=num_nodes)
 
-    def _inner(params, opt_state, rng, roots, rows, labels, w, tabs_local,
-               feat_local, csr_ptr_blk, csr_idx_blk):
-        csr_loc = (_squeeze_block(csr_ptr_blk), _squeeze_block(csr_idx_blk))
-        feat_loc = feat_local
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+    def _sample_all(r_samp, roots, rows, tabs_local, feat_loc, csr_loc):
         batches, feats = [], []
         for i, cfg in enumerate(cfgs):
             r_samp, sub = jax.random.split(r_samp)
@@ -697,6 +696,15 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             feat = feat.astype(jnp.float32) * batch.node_mask[..., None]
             batches.append(batch)
             feats.append(feat)
+        return batches, feats
+
+    def _inner(params, opt_state, rng, roots, rows, labels, w, tabs_local,
+               feat_local, csr_ptr_blk, csr_idx_blk):
+        csr_loc = (_squeeze_block(csr_ptr_blk), _squeeze_block(csr_idx_blk))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+        batches, feats = _sample_all(r_samp, roots, rows, tabs_local,
+                                     feat_local, csr_loc)
 
         def lf(p):
             logits, _ = model.apply(p, batches, feats, mode_train=True,
@@ -713,28 +721,58 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             return params, opt_state, loss, logits
         return params, opt_state, loss
 
+    def _inner_eval(params, rng, roots, rows, labels, w, tabs_local,
+                    feat_local, csr_ptr_blk, csr_idx_blk):
+        csr_loc = (_squeeze_block(csr_ptr_blk), _squeeze_block(csr_idx_blk))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rng, r_samp = jax.random.split(rng)
+        batches, feats = _sample_all(r_samp, roots, rows, tabs_local,
+                                     feat_local, csr_loc)
+        # label zeroing follows the MODE, dropout the train/eval status
+        # (reference models.py:182-183 semantics, as on the single-
+        # program eval path)
+        from shadow_gnn_tpu import TRAIN as _TRAIN
+        logits, _ = model.apply(params, batches, feats,
+                                mode_train=(mode == _TRAIN), train=False)
+        loss = jax.lax.pmean(
+            weighted_loss_fn(cfg_m, logits, labels, w), axis)
+        return loss, logits
+
     n_slice = len(cfgs)
-    out_specs = ((P(), P(), P(), P(axis)) if return_logits
-                 else (P(), P(), P()))
-    inner = jax.shard_map(
-        _inner, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                  tuple((P(axis, None), P(axis, None))
-                        for _ in range(n_slice)),
-                  P(axis, None), P(axis, None), P(axis, None)),
-        out_specs=out_specs,
-        check_vma=False,
-    )
+    tab_specs = tuple((P(axis, None), P(axis, None))
+                      for _ in range(n_slice))
+    state_specs = (tab_specs, P(axis, None), P(axis, None), P(axis, None))
 
     # global arrays must enter the program as ARGUMENTS: closure capture
     # bakes them in as constants, which is illegal for arrays spanning
     # non-addressable devices (multi-process) and serializes them into
     # the program on the tunnel backend
-    jit_inner = jax.jit(inner)
+    if train:
+        out_specs = ((P(), P(), P(), P(axis)) if return_logits
+                     else (P(), P(), P()))
+        jit_inner = jax.jit(jax.shard_map(
+            _inner, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis))
+            + state_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        ))
 
-    def step(params, opt_state, rng, roots, rows, labels, w):
-        return jit_inner(params, opt_state, rng, roots, rows, labels, w,
-                         tabs_sharded, feat_sharded, *csr_dev)
+        def step(params, opt_state, rng, roots, rows, labels, w):
+            return jit_inner(params, opt_state, rng, roots, rows, labels,
+                             w, tabs_sharded, feat_sharded, *csr_dev)
+    else:
+        jit_eval = jax.jit(jax.shard_map(
+            _inner_eval, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis))
+            + state_specs,
+            out_specs=(P(), P(axis)),
+            check_vma=False,
+        ))
+
+        def step(params, rng, roots, rows, labels, w):
+            return jit_eval(params, rng, roots, rows, labels, w,
+                            tabs_sharded, feat_sharded, *csr_dev)
 
     def shard_batch(xs):
         if jax.process_count() > 1:

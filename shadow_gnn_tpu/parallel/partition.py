@@ -79,7 +79,7 @@ def put_global(mesh: Mesh, tree, spec):
 def make_sharded_train_step(trainer, mode: int, n_devices: int,
                             axis: str = "dp",
                             return_logits: bool = False,
-                            mesh: Mesh = None):
+                            mesh: Mesh = None, train: bool = True):
     """Full DP training step with a ROW-SHARDED feature table.
 
     Unlike parallel/dp.py (features replicated), the node-feature table
@@ -119,12 +119,9 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
     cfg_m, model, opt = trainer.model_cfg, trainer.model, trainer.opt
     cfgs = tuple(br["cfg"][mode] for br in trainer.branches)
 
-    def _step(params, opt_state, rng, roots, rows, labels, w, feat_local,
-              g_arrays, tabs):
+    def _sample_all(r_samp, roots, rows, feat_local, g_arrays, tabs):
         graph = _dc.replace(graph_meta, indptr=g_arrays[0],
                             indices=g_arrays[1])
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
         batches, feats = [], []
         for i, cfg in enumerate(cfgs):
             r_samp, sub = jax.random.split(r_samp)
@@ -136,6 +133,14 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
             feat = feat * batch.node_mask[..., None]
             batches.append(batch)
             feats.append(feat)
+        return batches, feats
+
+    def _step(params, opt_state, rng, roots, rows, labels, w, feat_local,
+              g_arrays, tabs):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+        batches, feats = _sample_all(r_samp, roots, rows, feat_local,
+                                     g_arrays, tabs)
 
         def lf(p):
             logits, _ = model.apply(p, batches, feats, mode_train=True,
@@ -152,19 +157,45 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
             return params, opt_state, loss, logits
         return params, opt_state, loss
 
-    out_specs = ((P(), P(), P(), P(axis)) if return_logits
-                 else (P(), P(), P()))
-    sharded = jax.jit(jax.shard_map(
-        _step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                  P(axis, None), P(), P()),
-        out_specs=out_specs,
-        check_vma=False,
-    ))
+    def _step_eval(params, rng, roots, rows, labels, w, feat_local,
+                   g_arrays, tabs):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rng, r_samp = jax.random.split(rng)
+        batches, feats = _sample_all(r_samp, roots, rows, feat_local,
+                                     g_arrays, tabs)
+        from shadow_gnn_tpu import TRAIN as _TRAIN
+        logits, _ = model.apply(params, batches, feats,
+                                mode_train=(mode == _TRAIN), train=False)
+        loss = jax.lax.pmean(
+            weighted_loss_fn(cfg_m, logits, labels, w), axis)
+        return loss, logits
 
-    def step(params, opt_state, rng, roots, rows, labels, w):
-        return sharded(params, opt_state, rng, roots, rows, labels, w,
-                       feat_sharded, graph_arrays, tables)
+    if train:
+        out_specs = ((P(), P(), P(), P(axis)) if return_logits
+                     else (P(), P(), P()))
+        sharded = jax.jit(jax.shard_map(
+            _step, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(axis, None), P(), P()),
+            out_specs=out_specs,
+            check_vma=False,
+        ))
+
+        def step(params, opt_state, rng, roots, rows, labels, w):
+            return sharded(params, opt_state, rng, roots, rows, labels, w,
+                           feat_sharded, graph_arrays, tables)
+    else:
+        sharded_e = jax.jit(jax.shard_map(
+            _step_eval, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(axis, None), P(), P()),
+            out_specs=(P(), P(axis)),
+            check_vma=False,
+        ))
+
+        def step(params, rng, roots, rows, labels, w):
+            return sharded_e(params, rng, roots, rows, labels, w,
+                             feat_sharded, graph_arrays, tables)
 
     def shard_batch(xs):
         if jax.process_count() > 1:

@@ -1024,6 +1024,35 @@ class Trainer:
         return losses, preds
 
     # ------------------------------------------------------------------
+    def _run_partition_eval(self, mode, nb, roots, rows, labels, w, rng):
+        """EVAL epoch over the multi-device partition step ('feat' /
+        'edge'): the graph/feature/table shards never need to fit one
+        device for evaluation either."""
+        key = ("eval", mode)
+        if key not in self._partition_fns:
+            n = self.partition_devices or len(jax.devices())
+            if self.partition == "feat":
+                from shadow_gnn_tpu.parallel.partition import (
+                    make_sharded_train_step)
+                step, shard, repl, _ = make_sharded_train_step(
+                    self, mode, n, train=False)
+            else:
+                from shadow_gnn_tpu.parallel.edgepart import (
+                    make_edgepart_train_step)
+                step, shard, repl = make_edgepart_train_step(
+                    self, mode, n, train=False)
+            self._partition_fns[key] = (step, shard, repl)
+        step, shard, repl = self._partition_fns[key]
+        params = repl(self.params)
+        losses, preds = [], []
+        for ib in range(nb):
+            xs = shard((roots[ib], rows[ib], labels[ib], w[ib]))
+            loss, logits = step(params, jax.random.fold_in(rng, ib), *xs)
+            losses.append(float(loss))
+            preds.append(np.asarray(predict_fn(self.model_cfg, logits)))
+        return np.asarray(losses), np.stack(preds)
+
+    # ------------------------------------------------------------------
     def run_epoch(self, epoch: int, mode: int, status: str = "running"):
         self._ensure_tables(mode)
         self._ensure_caches(mode)
@@ -1051,6 +1080,10 @@ class Trainer:
         t0 = time.time()
         if train and self.partition != "none":
             losses, preds = self._run_partition_epoch(
+                mode, nb, roots, rows, labels_dev, w_dev, rng)
+            ovf = 0
+        elif not train and self.partition in ("feat", "edge"):
+            losses, preds = self._run_partition_eval(
                 mode, nb, roots, rows, labels_dev, w_dev, rng)
             ovf = 0
         elif self.chunk_batches > 0 and not train:
