@@ -577,7 +577,8 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
                              fetch_cap: Optional[int] = None,
                              return_logits: bool = False,
                              mesh: Optional[Mesh] = None,
-                             train: bool = True):
+                             train: bool = True,
+                             epoch_scan: bool = False):
     """DP training step with the graph CSR, the feature table, and the
     PPR tables ALL row-sharded over the mesh — nothing graph-sized is
     replicated.  Per-batch boundary exchanges: table-row gather (GSPMD,
@@ -721,6 +722,40 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             return params, opt_state, loss, logits
         return params, opt_state, loss
 
+    def _inner_epoch(params, opt_state, rng, roots, rows, labels, w,
+                     tabs_local, feat_local, csr_ptr_blk, csr_idx_blk):
+        """Whole-epoch scan over batches inside ONE program: a single
+        dispatch per epoch (per-batch dispatches cost ~7ms each through
+        the remote-TPU tunnel — the same consideration that keeps the
+        single-device TRAIN path a monolithic lax.scan)."""
+        csr_loc = (_squeeze_block(csr_ptr_blk), _squeeze_block(csr_idx_blk))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def body(carry, xs):
+            params, opt_state, rng = carry
+            roots_b, rows_b, labels_b, w_b = xs
+            rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+            batches, feats = _sample_all(r_samp, roots_b, rows_b,
+                                         tabs_local, feat_local, csr_loc)
+
+            def lf(p):
+                logits, _ = model.apply(
+                    p, batches, feats, mode_train=True, train=True,
+                    rngs={"dropout": r_do, "dropedge": r_de})
+                return weighted_loss_fn(cfg_m, logits, labels_b, w_b), logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                lf, has_aux=True)(params)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, logits)
+
+        (params, opt_state, _), (losses, logits) = jax.lax.scan(
+            body, (params, opt_state, rng), (roots, rows, labels, w))
+        return params, opt_state, losses, logits
+
     def _inner_eval(params, rng, roots, rows, labels, w, tabs_local,
                     feat_local, csr_ptr_blk, csr_idx_blk):
         csr_loc = (_squeeze_block(csr_ptr_blk), _squeeze_block(csr_idx_blk))
@@ -747,7 +782,19 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
     # bakes them in as constants, which is illegal for arrays spanning
     # non-addressable devices (multi-process) and serializes them into
     # the program on the tunnel backend
-    if train:
+    if train and epoch_scan:
+        jit_epoch = jax.jit(jax.shard_map(
+            _inner_epoch, mesh=mesh,
+            in_specs=(P(), P(), P(), P(None, axis), P(None, axis),
+                      P(None, axis), P(None, axis)) + state_specs,
+            out_specs=(P(), P(), P(), P(None, axis)),
+            check_vma=False,
+        ))
+
+        def step(params, opt_state, rng, roots, rows, labels, w):
+            return jit_epoch(params, opt_state, rng, roots, rows, labels,
+                             w, tabs_sharded, feat_sharded, *csr_dev)
+    elif train:
         out_specs = ((P(), P(), P(), P(axis)) if return_logits
                      else (P(), P(), P()))
         jit_inner = jax.jit(jax.shard_map(
@@ -775,6 +822,13 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
                             tabs_sharded, feat_sharded, *csr_dev)
 
     def shard_batch(xs):
+        if train and epoch_scan:
+            # whole-epoch arrays [nb, B, ...]: batch dim is SECOND
+            assert jax.process_count() == 1, \
+                "epoch_scan is single-process (use per-batch steps " \
+                "with process-local rows in multi-process jobs)"
+            esh = NamedSharding(mesh, P(None, axis))
+            return tuple(jax.device_put(x, esh) for x in xs)
         if jax.process_count() > 1:
             from shadow_gnn_tpu.parallel import multihost as mh
             return tuple(mh.process_local_batch(mesh, np.asarray(x), axis)

@@ -1001,26 +1001,39 @@ class Trainer:
             else:
                 from shadow_gnn_tpu.parallel.edgepart import (
                     make_edgepart_train_step)
+                # one program per EPOCH (scan over batches): per-batch
+                # dispatches cost ~7ms each through the remote-TPU
+                # tunnel; multi-process jobs keep per-batch steps with
+                # process-local rows
+                scan = jax.process_count() == 1
                 step, shard, repl = make_edgepart_train_step(
-                    self, mode, n, return_logits=True)
+                    self, mode, n, return_logits=not scan,
+                    epoch_scan=scan)
             self._partition_fns[mode] = (step, shard, repl)
         step, shard, repl = self._partition_fns[mode]
         params = repl(self.params)
         opt_state = repl(self.opt_state)
-        losses, preds = [], []
-        for ib in range(nb):
-            xs = shard((roots[ib], rows[ib], labels[ib], w[ib]))
-            params, opt_state, loss, logits = step(
-                params, opt_state, jax.random.fold_in(rng, ib), *xs)
-            losses.append(loss)
-            preds.append(np.asarray(predict_fn(self.model_cfg, logits)))
+        if self.partition == "edge" and jax.process_count() == 1:
+            xs = shard((roots, rows, labels, w))
+            params, opt_state, losses, logits = step(params, opt_state,
+                                                     rng, *xs)
+            losses = np.asarray(losses)
+            preds = np.asarray(predict_fn(self.model_cfg, logits))
+        else:
+            losses, preds = [], []
+            for ib in range(nb):
+                xs = shard((roots[ib], rows[ib], labels[ib], w[ib]))
+                params, opt_state, loss, logits = step(
+                    params, opt_state, jax.random.fold_in(rng, ib), *xs)
+                losses.append(loss)
+                preds.append(np.asarray(predict_fn(self.model_cfg, logits)))
+            losses = np.asarray([float(x) for x in losses])
+            preds = np.stack(preds)
         # back to ordinary default-device arrays for eval/checkpointing
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)), params)
         self.opt_state = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)), opt_state)
-        losses = np.asarray([float(x) for x in losses])
-        preds = np.stack(preds)
         return losses, preds
 
     # ------------------------------------------------------------------
