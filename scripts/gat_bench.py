@@ -103,7 +103,8 @@ def parse_trace(trace_dir: str, top: int = 12):
 
 def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
         compute_dtype: str = "float32", fused: bool = False,
-        aggr: str = "gat", packed_adj: bool = False) -> dict:
+        aggr: str = "gat", packed_adj: bool = False,
+        feat_dtype: str = "float32") -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -146,7 +147,8 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
     tr = Trainer(f"gatbench_{preset}", cache_dir, g, parsed, metrics,
                  logger, seed=0, use_device_ppr=False, prng_impl="rbg",
                  matmul_precision="bfloat16", compute_dtype=compute_dtype,
-                 fused_gat=fused, packed_adj=packed_adj)
+                 fused_gat=fused, packed_adj=packed_adj,
+                 feat_dtype=feat_dtype)
     tr._ensure_tables(TRAIN)
     tr._ensure_caches(TRAIN)
     t_init = time.time() - t0
@@ -273,13 +275,17 @@ def main():
     ap.add_argument("--packed_adj", action="store_true",
                     help="fused Pallas bit-packed aggregation "
                          "(ops/pallas_packed.py; gcn/sage/gin only)")
+    ap.add_argument("--feat_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="HBM feature-table storage dtype")
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
         jax.config.update("jax_platforms", args.platform)
     out = [run(pre, args.roots, args.trace, args.graph_nodes,
-               args.compute_dtype, args.fused, args.aggr, args.packed_adj)
+               args.compute_dtype, args.fused, args.aggr, args.packed_adj,
+               args.feat_dtype)
            for pre in args.preset]
     print(json.dumps(out, indent=1))
 
