@@ -25,6 +25,8 @@ from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
 
 
 def make_mesh(n_devices: int) -> Mesh:
+    assert len(jax.devices()) >= n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}")
     devs = np.array(jax.devices()[:n_devices])
     return Mesh(devs, ("dp",))
 
@@ -94,10 +96,11 @@ def make_dp_train_step(trainer, mode: int, n_devices: int,
         import optax
         params = optax.apply_updates(params, updates)
         if return_logits:
-            return params, opt_state, loss, logits
+            ovf = sum(b.overflow for b in batches)
+            return params, opt_state, loss, logits, ovf
         return params, opt_state, loss
 
-    out_sh = ((repl, repl, repl, bshard) if return_logits
+    out_sh = ((repl, repl, repl, bshard, repl) if return_logits
               else (repl, repl, repl))
     step_inner = jax.jit(
         _step,

@@ -64,6 +64,8 @@ from shadow_gnn_tpu.sampling.samplers import (
 from shadow_gnn_tpu.parallel.partition import (
     pad_rows_to_shards,
     sharded_feat_gather,
+    spmd_eval_loss,
+    spmd_train_update,
 )
 
 
@@ -477,6 +479,9 @@ def make_ring_spmm(src: np.ndarray, dst: np.ndarray, val: np.ndarray,
     P(axis); semantics match ops.spmm.spmm_edges exactly
     (Y[src] += val * X[dst]).
     """
+    assert len(jax.devices()) >= n_devices, (
+        f"ring SpMM over {n_devices} shards needs {n_devices} devices, "
+        f"have {len(jax.devices())}")
     devs = np.array(jax.devices()[:n_devices])
     mesh = Mesh(devs, (axis,))
     rshard = NamedSharding(mesh, P(axis, None))
@@ -529,6 +534,8 @@ def distributed_outcome_correlation(indptr, indices, y0: np.ndarray,
     srcb, dstb, valb, nl = bucket_edges(dst.astype(np.int64),
                                         src.astype(np.int64), w, n,
                                         n_devices)
+    assert len(jax.devices()) >= n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}")
     devs = np.array(jax.devices()[:n_devices])
     mesh = Mesh(devs, (axis,))
     rshard = NamedSharding(mesh, P(axis, None))
@@ -595,14 +602,18 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
     labels, w) -> (loss, logits)`` with no optimizer state — so
     beyond-single-chip graphs never need a single-device eval program.
     """
-    import optax
-    from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
 
     from shadow_gnn_tpu.parallel.partition import put_global
 
     if mesh is None:
+        assert len(jax.devices()) >= n_devices, (
+            f"edge-partitioned step over {n_devices} shards needs "
+            f"{n_devices} devices, have {len(jax.devices())}")
         devs = np.array(jax.devices()[:n_devices])
         mesh = Mesh(devs, (axis,))
+    assert mesh.devices.size == n_devices, (
+        "mesh size must equal the shard count: the [S, ...] stacked "
+        "shards map one-to-one onto mesh devices")
     repl = NamedSharding(mesh, P())
     bshard = NamedSharding(mesh, P(axis))
     rshard = NamedSharding(mesh, P(axis, None))
@@ -689,12 +700,12 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
                     f"{cfg.method}")
             # feature exchange FIRST: no dataflow into the induction
             # below, so the collective overlaps the densification einsums
+            # (masking/upcast is left to the model, nn/model.py)
             feat = sharded_feat_gather(
                 feat_loc, jnp.minimum(nodes, num_nodes - 1), axis)
             batch = induce_edgepart(csr_loc, nodes, sc, roots, cfg,
                                     csr.n_local, num_nodes,
                                     csr.search_steps, caps[i], axis)
-            feat = feat.astype(jnp.float32) * batch.node_mask[..., None]
             batches.append(batch)
             feats.append(feat)
         return batches, feats
@@ -706,20 +717,11 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
         rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
         batches, feats = _sample_all(r_samp, roots, rows, tabs_local,
                                      feat_local, csr_loc)
-
-        def lf(p):
-            logits, _ = model.apply(p, batches, feats, mode_train=True,
-                                    train=True,
-                                    rngs={"dropout": r_do, "dropedge": r_de})
-            return weighted_loss_fn(cfg_m, logits, labels, w), logits
-
-        (loss, logits), grads = jax.value_and_grad(lf, has_aux=True)(params)
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state, loss, logits, ovf = spmd_train_update(
+            model, opt, cfg_m, axis, params, opt_state, batches, feats,
+            labels, w, r_do, r_de)
         if return_logits:
-            return params, opt_state, loss, logits
+            return params, opt_state, loss, logits, ovf
         return params, opt_state, loss
 
     def _inner_epoch(params, opt_state, rng, roots, rows, labels, w,
@@ -737,24 +739,14 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
             batches, feats = _sample_all(r_samp, roots_b, rows_b,
                                          tabs_local, feat_local, csr_loc)
+            params, opt_state, loss, logits, ovf = spmd_train_update(
+                model, opt, cfg_m, axis, params, opt_state, batches,
+                feats, labels_b, w_b, r_do, r_de)
+            return (params, opt_state, rng), (loss, logits, ovf)
 
-            def lf(p):
-                logits, _ = model.apply(
-                    p, batches, feats, mode_train=True, train=True,
-                    rngs={"dropout": r_do, "dropedge": r_de})
-                return weighted_loss_fn(cfg_m, logits, labels_b, w_b), logits
-
-            (loss, logits), grads = jax.value_and_grad(
-                lf, has_aux=True)(params)
-            grads = jax.lax.pmean(grads, axis)
-            loss = jax.lax.pmean(loss, axis)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), (loss, logits)
-
-        (params, opt_state, _), (losses, logits) = jax.lax.scan(
+        (params, opt_state, _), (losses, logits, ovfs) = jax.lax.scan(
             body, (params, opt_state, rng), (roots, rows, labels, w))
-        return params, opt_state, losses, logits
+        return params, opt_state, losses, logits, ovfs.sum()
 
     def _inner_eval(params, rng, roots, rows, labels, w, tabs_local,
                     feat_local, csr_ptr_blk, csr_idx_blk):
@@ -767,11 +759,8 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
         # (reference models.py:182-183 semantics, as on the single-
         # program eval path)
         from shadow_gnn_tpu import TRAIN as _TRAIN
-        logits, _ = model.apply(params, batches, feats,
-                                mode_train=(mode == _TRAIN), train=False)
-        loss = jax.lax.pmean(
-            weighted_loss_fn(cfg_m, logits, labels, w), axis)
-        return loss, logits
+        return spmd_eval_loss(model, cfg_m, axis, params, batches, feats,
+                              labels, w, mode == _TRAIN)
 
     n_slice = len(cfgs)
     tab_specs = tuple((P(axis, None), P(axis, None))
@@ -787,7 +776,7 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             _inner_epoch, mesh=mesh,
             in_specs=(P(), P(), P(), P(None, axis), P(None, axis),
                       P(None, axis), P(None, axis)) + state_specs,
-            out_specs=(P(), P(), P(), P(None, axis)),
+            out_specs=(P(), P(), P(), P(None, axis), P()),
             check_vma=False,
         ))
 
@@ -795,7 +784,7 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             return jit_epoch(params, opt_state, rng, roots, rows, labels,
                              w, tabs_sharded, feat_sharded, *csr_dev)
     elif train:
-        out_specs = ((P(), P(), P(), P(axis)) if return_logits
+        out_specs = ((P(), P(), P(), P(axis), P()) if return_logits
                      else (P(), P(), P()))
         jit_inner = jax.jit(jax.shard_map(
             _inner, mesh=mesh,
@@ -813,7 +802,7 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             _inner_eval, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis))
             + state_specs,
-            out_specs=(P(), P(axis)),
+            out_specs=(P(), P(axis), P()),
             check_vma=False,
         ))
 

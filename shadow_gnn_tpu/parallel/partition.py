@@ -52,6 +52,57 @@ def sharded_feat_gather(feat_local: jax.Array, nodes: jax.Array,
     return jax.lax.psum_scatter(vals, axis, scatter_dimension=0, tiled=False)
 
 
+def spmd_weighted_loss(cfg_m, logits, labels, w, axis: str):
+    """Per-shard PARTIAL of the globally-normalized weighted loss: the
+    numerator over this shard's rows divided by the psum'd weight sum.
+    ``lax.psum`` of the result is the exact single-chip loss, so
+    gradients of the partial psum to the exact global gradient — the
+    per-shard-normalize + pmean shortcut deviates whenever a tail
+    batch's w=0 padding rows land unevenly across shards."""
+    from shadow_gnn_tpu.train.pipeline import weighted_loss_parts
+    num, den = weighted_loss_parts(cfg_m, logits, labels, w)
+    den_g = jnp.clip(jax.lax.psum(den, axis), 1.0, None)
+    return num / den_g
+
+
+def spmd_train_update(model, opt, cfg_m, axis, params, opt_state,
+                      batches, feats, labels, w, r_do, r_de):
+    """One SPMD training update shared by every partition step (per-
+    batch, epoch-scan, sharded-feature, edge-partitioned): forward +
+    backward on this shard's rows, global weighted-loss normalization,
+    psum'd gradients, optimizer update.  Returns (params, opt_state,
+    global loss, shard logits, psum'd induction-overflow count)."""
+    import optax
+
+    def lf(p):
+        logits, _ = model.apply(p, batches, feats, mode_train=True,
+                                train=True,
+                                rngs={"dropout": r_do, "dropedge": r_de})
+        return spmd_weighted_loss(cfg_m, logits, labels, w, axis), logits
+
+    (part, logits), grads = jax.value_and_grad(lf, has_aux=True)(params)
+    loss = jax.lax.psum(part, axis)
+    grads = jax.lax.psum(grads, axis)     # d(global loss)/dp exactly
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    ovf = jax.lax.psum(
+        sum(b.overflow for b in batches), axis).astype(jnp.int32)
+    return params, opt_state, loss, logits, ovf
+
+
+def spmd_eval_loss(model, cfg_m, axis, params, batches, feats, labels, w,
+                   mode_train):
+    """Eval counterpart of spmd_train_update: globally-normalized loss
+    + shard logits + psum'd overflow."""
+    logits, _ = model.apply(params, batches, feats, mode_train=mode_train,
+                            train=False)
+    loss = jax.lax.psum(
+        spmd_weighted_loss(cfg_m, logits, labels, w, axis), axis)
+    ovf = jax.lax.psum(
+        sum(b.overflow for b in batches), axis).astype(jnp.int32)
+    return loss, logits, ovf
+
+
 def put_global(mesh: Mesh, tree, spec):
     """device_put in single-process jobs.  In multi-process jobs every
     host passes the FULL host value; replicated leaves go through
@@ -92,11 +143,11 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
     Returns (step_fn, shard_batch, replicate, feat_sharded).
     """
     import dataclasses as _dc
-    import optax
     from shadow_gnn_tpu.sampling.samplers import sample_subgraphs
-    from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
 
     if mesh is None:
+        assert len(jax.devices()) >= n_devices, (
+            f"need {n_devices} devices, have {len(jax.devices())}")
         devs = np.array(jax.devices()[:n_devices])
         mesh = Mesh(devs, (axis,))
     repl = NamedSharding(mesh, P())
@@ -130,7 +181,9 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
             feat = sharded_feat_gather(
                 feat_local, jnp.minimum(batch.nodes, trainer.num_nodes - 1),
                 axis)
-            feat = feat * batch.node_mask[..., None]
+            # no mask multiply here: the model masks the feature block
+            # itself (nn/model.py), and an eager pass would force an
+            # extra [B, N, F] materialization
             batches.append(batch)
             feats.append(feat)
         return batches, feats
@@ -141,20 +194,11 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
         rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
         batches, feats = _sample_all(r_samp, roots, rows, feat_local,
                                      g_arrays, tabs)
-
-        def lf(p):
-            logits, _ = model.apply(p, batches, feats, mode_train=True,
-                                    train=True,
-                                    rngs={"dropout": r_do, "dropedge": r_de})
-            return weighted_loss_fn(cfg_m, logits, labels, w), logits
-
-        (loss, logits), grads = jax.value_and_grad(lf, has_aux=True)(params)
-        grads = jax.lax.pmean(grads, axis)        # DP gradient all-reduce
-        loss = jax.lax.pmean(loss, axis)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state, loss, logits, ovf = spmd_train_update(
+            model, opt, cfg_m, axis, params, opt_state, batches, feats,
+            labels, w, r_do, r_de)
         if return_logits:
-            return params, opt_state, loss, logits
+            return params, opt_state, loss, logits, ovf
         return params, opt_state, loss
 
     def _step_eval(params, rng, roots, rows, labels, w, feat_local,
@@ -164,14 +208,11 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
         batches, feats = _sample_all(r_samp, roots, rows, feat_local,
                                      g_arrays, tabs)
         from shadow_gnn_tpu import TRAIN as _TRAIN
-        logits, _ = model.apply(params, batches, feats,
-                                mode_train=(mode == _TRAIN), train=False)
-        loss = jax.lax.pmean(
-            weighted_loss_fn(cfg_m, logits, labels, w), axis)
-        return loss, logits
+        return spmd_eval_loss(model, cfg_m, axis, params, batches, feats,
+                              labels, w, mode == _TRAIN)
 
     if train:
-        out_specs = ((P(), P(), P(), P(axis)) if return_logits
+        out_specs = ((P(), P(), P(), P(axis), P()) if return_logits
                      else (P(), P(), P()))
         sharded = jax.jit(jax.shard_map(
             _step, mesh=mesh,
@@ -189,7 +230,7 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
             _step_eval, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
                       P(axis, None), P(), P()),
-            out_specs=(P(), P(axis)),
+            out_specs=(P(), P(axis), P()),
             check_vma=False,
         ))
 

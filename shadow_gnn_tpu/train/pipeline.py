@@ -40,20 +40,29 @@ from shadow_gnn_tpu.train.logger import Logger
 from shadow_gnn_tpu.train.metrics import Metrics
 
 
-def weighted_loss_fn(cfg: ModelConfig, logits, labels, weights):
-    """Reference loss (models.py:156-166) with tail-batch padding masked
-    via per-row weights (w in {0,1})."""
-    wsum = jnp.clip(weights.sum(), 1.0, None)
+def weighted_loss_parts(cfg: ModelConfig, logits, labels, weights):
+    """(numerator, weight-sum) of the reference loss — separated so
+    SPMD shards can normalize by the GLOBAL weight sum (psum of the
+    denominators) instead of their local one, which diverges on tail
+    batches whose padding rows land unevenly across shards."""
     if cfg.sigmoid_loss:
         lab = labels.astype(logits.dtype)
         bce = jnp.maximum(logits, 0) - logits * lab + jnp.log1p(
             jnp.exp(-jnp.abs(logits)))
-        return (bce.mean(-1) * weights).sum() / wsum * logits.shape[-1]
+        return ((bce.mean(-1) * weights).sum() * logits.shape[-1],
+                weights.sum())
     if labels.ndim == 2:
         labels = labels.argmax(-1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return (ce * weights).sum() / wsum
+    return (ce * weights).sum(), weights.sum()
+
+
+def weighted_loss_fn(cfg: ModelConfig, logits, labels, weights):
+    """Reference loss (models.py:156-166) with tail-batch padding masked
+    via per-row weights (w in {0,1})."""
+    num, den = weighted_loss_parts(cfg, logits, labels, weights)
+    return num / jnp.clip(den, 1.0, None)
 
 
 def bucket_cap(n: int) -> int:
@@ -987,6 +996,17 @@ class Trainer:
         to the default device at the end so eval epochs and
         checkpointing see ordinary arrays.
         """
+        if jax.process_count() > 1:
+            # driver-level partition epochs compute metrics from the
+            # global logits, which a single host cannot fetch; multi-
+            # process jobs use the library-level steps with process-
+            # local rows (parallel/dp.py docstring, tests/
+            # test_multiprocess.py) until per-host metric reduction
+            # lands
+            raise NotImplementedError(
+                "--partition Trainer epochs are single-process; in "
+                "multi-process jobs drive the parallel/ step factories "
+                "directly with process-local batch rows")
         if mode not in self._partition_fns:
             n = self.partition_devices or len(jax.devices())
             if self.partition == "dp":
@@ -1003,30 +1023,29 @@ class Trainer:
                     make_edgepart_train_step)
                 # one program per EPOCH (scan over batches): per-batch
                 # dispatches cost ~7ms each through the remote-TPU
-                # tunnel; multi-process jobs keep per-batch steps with
-                # process-local rows
-                scan = jax.process_count() == 1
+                # tunnel
                 step, shard, repl = make_edgepart_train_step(
-                    self, mode, n, return_logits=not scan,
-                    epoch_scan=scan)
+                    self, mode, n, epoch_scan=True)
             self._partition_fns[mode] = (step, shard, repl)
         step, shard, repl = self._partition_fns[mode]
         params = repl(self.params)
         opt_state = repl(self.opt_state)
-        if self.partition == "edge" and jax.process_count() == 1:
+        if self.partition == "edge":
             xs = shard((roots, rows, labels, w))
-            params, opt_state, losses, logits = step(params, opt_state,
-                                                     rng, *xs)
+            params, opt_state, losses, logits, ovf = step(
+                params, opt_state, rng, *xs)
             losses = np.asarray(losses)
             preds = np.asarray(predict_fn(self.model_cfg, logits))
+            ovf = int(ovf)
         else:
-            losses, preds = [], []
+            losses, preds, ovf = [], [], 0
             for ib in range(nb):
                 xs = shard((roots[ib], rows[ib], labels[ib], w[ib]))
-                params, opt_state, loss, logits = step(
+                params, opt_state, loss, logits, ovf_b = step(
                     params, opt_state, jax.random.fold_in(rng, ib), *xs)
                 losses.append(loss)
                 preds.append(np.asarray(predict_fn(self.model_cfg, logits)))
+                ovf += int(ovf_b)
             losses = np.asarray([float(x) for x in losses])
             preds = np.stack(preds)
         # back to ordinary default-device arrays for eval/checkpointing
@@ -1034,7 +1053,7 @@ class Trainer:
             lambda x: jnp.asarray(np.asarray(x)), params)
         self.opt_state = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)), opt_state)
-        return losses, preds
+        return losses, preds, ovf
 
     # ------------------------------------------------------------------
     def _run_partition_eval(self, mode, nb, roots, rows, labels, w, rng):
@@ -1057,13 +1076,15 @@ class Trainer:
             self._partition_fns[key] = (step, shard, repl)
         step, shard, repl = self._partition_fns[key]
         params = repl(self.params)
-        losses, preds = [], []
+        losses, preds, ovf = [], [], 0
         for ib in range(nb):
             xs = shard((roots[ib], rows[ib], labels[ib], w[ib]))
-            loss, logits = step(params, jax.random.fold_in(rng, ib), *xs)
+            loss, logits, ovf_b = step(params, jax.random.fold_in(rng, ib),
+                                       *xs)
             losses.append(float(loss))
             preds.append(np.asarray(predict_fn(self.model_cfg, logits)))
-        return np.asarray(losses), np.stack(preds)
+            ovf += int(ovf_b)
+        return np.asarray(losses), np.stack(preds), ovf
 
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int, mode: int, status: str = "running"):
@@ -1092,13 +1113,11 @@ class Trainer:
             jax.profiler.start_trace(self.trace_dir)
         t0 = time.time()
         if train and self.partition != "none":
-            losses, preds = self._run_partition_epoch(
+            losses, preds, ovf = self._run_partition_epoch(
                 mode, nb, roots, rows, labels_dev, w_dev, rng)
-            ovf = 0
         elif not train and self.partition in ("feat", "edge"):
-            losses, preds = self._run_partition_eval(
+            losses, preds, ovf = self._run_partition_eval(
                 mode, nb, roots, rows, labels_dev, w_dev, rng)
-            ovf = 0
         elif self.chunk_batches > 0 and not train:
             losses, preds, ovf = self._run_chunks(
                 mode, train, nb, roots, rows, labels_dev, w_dev, rng)

@@ -417,3 +417,31 @@ def test_partition_link_task_epoch(tmp_path):
     s1 = tr.run_epoch(1, TRAIN)
     assert np.isfinite(s0["loss"]) and np.isfinite(s1["loss"])
     assert s1["loss"] < s0["loss"], (s0, s1)
+
+
+def test_edgepart_tail_batch_loss_normalization(tmp_path):
+    """w=0 padding rows landing on SOME shards only must not skew the
+    loss: per-shard normalization + pmean under-reported it by ~n_dev
+    before the psum'd global-weight-sum fix (spmd_weighted_loss)."""
+    import jax.random as jr
+    from shadow_gnn_tpu.train.pipeline import weighted_loss_fn
+
+    tr = _tiny_trainer(tmp_path, batch_size=16)
+    tr._ensure_tables(TRAIN)
+    nb, roots, rows, labels, w, _, _ = tr._epoch_arrays(TRAIN)
+    w0 = np.asarray(w[0]).copy()
+    w0[2:] = 0.0                      # valid rows only on shard 0
+    step, shard_batch, replicate = ep.make_edgepart_train_step(tr, TRAIN, 8)
+    xs = shard_batch((roots[0], rows[0], labels[0], w0))
+    _, _, loss = step(replicate(tr.params), replicate(tr.opt_state),
+                      jr.PRNGKey(0), *xs)
+    arrays = tr._mode_arrays(TRAIN)
+    batches, feats = tr._sample_branch_batches(
+        TRAIN, roots[0], rows[0], jr.PRNGKey(0), arrays)
+    logits, _ = tr.model.apply(tr.params, batches, feats, mode_train=True,
+                               train=True,
+                               rngs={"dropout": jr.PRNGKey(1),
+                                     "dropedge": jr.PRNGKey(2)})
+    want = float(weighted_loss_fn(tr.model_cfg, logits,
+                                  jnp.asarray(labels[0]), jnp.asarray(w0)))
+    assert np.isclose(float(loss), want, rtol=1e-4), (float(loss), want)
