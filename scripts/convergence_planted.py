@@ -41,6 +41,10 @@ def main():
                     help="also train the adjacency-free MLP control")
     ap.add_argument("--skip_gnn", action="store_true",
                     help="run only the MLP control (for re-runs)")
+    ap.add_argument("--partition", type=str, default="none",
+                    choices=["none", "dp", "feat", "edge"],
+                    help="run TRAIN/EVAL epochs through the multi-device "
+                         "partition path (needs a multi-device mesh)")
     ap.add_argument("--family", action="append", default=None,
                     choices=["sage", "gat", "gin", "gcn", "pprst",
                              "ensemble"],
@@ -125,7 +129,7 @@ def main():
         m = Metrics("planted", False, "accuracy", 1)
         tr = Trainer("planted", "", raw, parsed, m,
                      Logger(m, f"/tmp/planted_{tag}_{seed}", no_log=True),
-                     seed=seed)
+                     seed=seed, partition=args.partition)
         t0 = time.time()
         tr.train()
         acc = tr.logger.final_stats[TEST]["accuracy"]

@@ -2,13 +2,11 @@
 CPU mesh: collective CSR accesses vs the local CSR, distributed
 induction vs the single-chip exact kernel, and the full train step vs
 the single-device loss."""
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from shadow_gnn_tpu import TRAIN
 from shadow_gnn_tpu.data.graph import DeviceGraph
