@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--feat", type=int, default=64)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--max_roots", type=int, default=8192,
+                    help="truncate the train split (per-step throughput "
+                         "needs few roots; PPR precompute scales with "
+                         "the split size)")
     args = ap.parse_args()
 
     from shadow_gnn_tpu import TRAIN
@@ -61,6 +65,8 @@ def main():
     print(f"graph: {args.nodes} nodes, {g.indices_full.size} directed "
           f"edges, max deg {int(deg.max())}, built in {time.time()-t0:.0f}s",
           flush=True)
+    from shadow_gnn_tpu import TRAIN as _TRAIN
+    g.node_set[_TRAIN] = g.node_set[_TRAIN][:args.max_roots]
     cfg = {
         "data": {"transductive": True},
         "architecture": {"dim": args.dim, "aggr": "sage", "loss": "softmax",
