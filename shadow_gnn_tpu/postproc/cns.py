@@ -83,7 +83,7 @@ def general_outcome_correlation(indptr, indices, y0: np.ndarray,
 
 def correct_smooth(indptr, indices, label_full: np.ndarray,
                    node_set: Dict[int, np.ndarray], pred_list: List[np.ndarray],
-                   use_norm: bool, alpha: float):
+                   use_norm: bool, alpha: float, n_shards: int = 0):
     """Run the smooth step for each stored prediction matrix; returns
     (acc_orig, acc_cs) dicts of per-run accuracy lists."""
     num_cls = pred_list[0].shape[1]
@@ -103,7 +103,8 @@ def correct_smooth(indptr, indices, label_full: np.ndarray,
             acc_orig[m].append(acc(y, m))
         y_s = general_outcome_correlation(indptr, indices, y, n_prop=50,
                                           alpha=alpha, use_norm=use_norm,
-                                          clamp=(0.0, 1.0))
+                                          clamp=(0.0, 1.0),
+                                          n_shards=n_shards)
         for m in (TRAIN, VALID, TEST):
             acc_cs[m].append(acc(y_s, m))
     return acc_orig, acc_cs
@@ -136,7 +137,9 @@ def run_correct_smooth(args):
                     {"to_undirected": True, "transductive": True})
     acc_orig, acc_cs = correct_smooth(
         raw.indptr_full, raw.indices_full, raw.label_full, raw.node_set,
-        preds, cfg["hyperparameter"]["norm_sym"], cfg["hyperparameter"]["alpha"])
+        preds, cfg["hyperparameter"]["norm_sym"],
+        cfg["hyperparameter"]["alpha"],
+        n_shards=int(cfg["hyperparameter"].get("n_shards", 0)))
     print("original acc:", {k: np.mean(v) for k, v in acc_orig.items()})
     print("C&S acc:     ", {k: np.mean(v) for k, v in acc_cs.items()})
     return 0
