@@ -48,6 +48,7 @@ data:
     local: ./data
   metric:
     flickr: accuracy
+    collab: hits50
 algorithm:
   sampler:
     deterministic:
@@ -100,6 +101,43 @@ sampler:
     epsilon: [1e-6]
 """
 
+# collab/leaderboard/sage_ppr.yml machinery (reference lines 1-28):
+# stochastic-PPR sampler, DRNL augmentation, concat residue, sort-25
+# pooling, sigmoid loss — shrunk to 3 layers / k=100 / fewer epochs /
+# higher lr for a 20k-node planted graph (identical on BOTH sides, so
+# the A/B comparison is unaffected).
+LINK_TRAIN_YML = """\
+data:
+  to_undirected: False
+  transductive: True
+architecture:
+  dim: 128
+  aggr: sage
+  loss: sigmoid
+  num_layers: 3
+  act: elu
+  feature_augment: drnls
+  feature_augment_ops: concat
+  residue: concat
+  pooling: sort-25
+hyperparameter:
+  end: {end}
+  lr: 5e-4
+  dropout: 0.25
+  dropedge: 0.1
+  batch_size: 16
+  percent_per_epoch:
+    train: 0.25
+    valid: 1
+    test: 1
+sampler:
+  - method: ppr_st
+    phase: train
+    k: [100]
+    threshold: [0.01]
+    epsilon: [1e-6]
+"""
+
 
 def ensure_engine() -> str:
     so = os.path.join(
@@ -145,28 +183,95 @@ def export_data(nodes: int) -> float:
     return ceiling
 
 
-def run_reference(seed: int, epochs: int) -> float:
-    cfg = os.path.join(WORK, "ab_sage.yml")
+def export_data_link(nodes: int) -> None:
+    """Write a planted-community LINK dataset in shaDow's collab
+    format (split.npy = {mode: {'pos'[, 'neg']}}, eval positives held
+    OUT of the message adjacency — data_converter.py:376-388
+    semantics), under the dataset name 'collab' so the reference's
+    DATA_ZOO routes it as a link task."""
+    import numpy as np
+    from shadow_gnn_tpu.data.format import save_shadow_format
+    from shadow_gnn_tpu.data.synthetic import make_planted_dataset
+
+    import shutil
+    d = os.path.join(WORK, "data", "collab")
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    raw, _ = make_planted_dataset(num_nodes=nodes, seed=0)
+    rng = np.random.default_rng(42)
+    indptr, indices = raw.indptr_full, raw.indices_full
+    src = np.repeat(np.arange(nodes), np.diff(indptr))
+    upper = src < indices                    # each undirected edge once
+    pool = np.stack([src[upper], indices[upper]], 1).astype(np.int64)
+    sel = rng.permutation(pool.shape[0])
+    n_eval, n_train = 800, 4800
+    val_pos = pool[sel[:n_eval]]
+    test_pos = pool[sel[n_eval:2 * n_eval]]
+    train_pos = pool[sel[2 * n_eval:2 * n_eval + n_train]]
+    # random non-edge negatives for eval modes
+    key_all = src.astype(np.int64) * nodes + indices
+
+    def draw_neg(n, salt):
+        r = np.random.default_rng(salt)
+        out = np.empty((0, 2), np.int64)
+        while out.shape[0] < n:
+            c = r.integers(0, nodes, size=(2 * n, 2))
+            c = c[c[:, 0] != c[:, 1]]
+            k = c[:, 0] * nodes + c[:, 1]
+            c = c[~np.isin(k, key_all)]
+            out = np.concatenate([out, c])[:n]
+        return out
+
+    # message graph: drop eval positives (both directions)
+    held = np.concatenate([val_pos, test_pos])
+    key_held = np.concatenate([held[:, 0] * nodes + held[:, 1],
+                               held[:, 1] * nodes + held[:, 0]])
+    keep = ~np.isin(key_all, key_held)
+    new_indices = indices[keep]
+    new_indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(src[keep], minlength=nodes))]
+    ).astype(indptr.dtype)
+    from shadow_gnn_tpu import TRAIN, VALID, TEST
+    edge_set = {
+        TRAIN: {"pos": train_pos},
+        VALID: {"pos": val_pos, "neg": draw_neg(n_eval, 7)},
+        TEST: {"pos": test_pos, "neg": draw_neg(n_eval, 8)},
+    }
+    # write_bin=False: with cpp bin files present the reference takes its
+    # C++-only fast path and drops the scipy adjacency (main.py:57-64),
+    # which its link path then dereferences (minibatch.py:387,291) —
+    # link datasets must go through the pybind CSR handoff.
+    save_shadow_format(
+        os.path.join(WORK, "data"), "collab",
+        indptr=new_indptr, indices=new_indices,
+        feat=raw.feat_full, label=None, edge_set=edge_set,
+        write_bin=False)
+
+
+def run_reference(seed: int, epochs: int, dataset: str = "flickr",
+                  metric: str = "accuracy",
+                  cfg_name: str = "ab_sage.yml") -> float:
+    cfg = os.path.join(WORK, cfg_name)
     env = dict(os.environ, REF_ENGINE_DIR=ENGINE_DIR, REF_ROOT=REF_ROOT,
                OMP_NUM_THREADS="4")
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "ref_launcher.py"),
-         "--dataset", "flickr", "--configs", cfg, "--gpu", "-1",
+         "--dataset", dataset, "--configs", cfg, "--gpu", "-1",
          "--seed", str(seed), "--no_pbar"],
         cwd=WORK, env=env, capture_output=True, text=True, timeout=7200)
     out = proc.stdout
-    with open(os.path.join(WORK, f"ref_seed{seed}.log"), "w") as f:
+    with open(os.path.join(WORK, f"ref_{dataset}_seed{seed}.log"), "w") as f:
         f.write(out + "\n===STDERR===\n" + proc.stderr)
     if proc.returncode != 0:
         sys.stderr.write(out[-4000:] + "\n" + proc.stderr[-4000:])
         raise RuntimeError(f"reference run failed (seed {seed})")
-    m = re.search(r"FINAL SUMMARY:.*?test accuracy ([0-9.eE+-]+)", out)
+    m = re.search(rf"FINAL SUMMARY:.*?test {metric} ([0-9.eE+-]+)", out)
     if not m:
         sys.stderr.write(out[-4000:])
         raise RuntimeError("no FINAL SUMMARY in reference output")
     acc = float(m.group(1))
-    print(f"[reference seed {seed}] test acc = {acc:.4f} "
+    print(f"[reference seed {seed}] test {metric} = {acc:.4f} "
           f"({time.time() - t0:.0f}s)")
     return acc
 
@@ -212,6 +317,46 @@ def run_ours(seed: int, epochs: int) -> float:
     return acc
 
 
+def run_ours_link(seed: int, epochs: int) -> float:
+    from shadow_gnn_tpu import TEST
+    from shadow_gnn_tpu.data.loader import load_data
+    from shadow_gnn_tpu.train.config import parse_config
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu.train.pipeline import Trainer
+
+    raw = load_data(os.path.join(WORK, "data"), "collab",
+                    {"to_undirected": False, "transductive": True,
+                     "norm_feat": True})
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {
+            "dim": 128, "aggr": "sage", "loss": "sigmoid",
+            "num_layers": 3, "act": "elu", "feature_augment": "drnls",
+            "feature_augment_ops": "concat", "residue": "concat",
+            "pooling": "sort-25",
+        },
+        "hyperparameter": {
+            "end": epochs, "lr": 5e-4, "dropout": 0.25, "dropedge": 0.1,
+            "batch_size": 16,
+            "percent_per_epoch": {"train": 0.25, "valid": 1, "test": 1},
+        },
+        "sampler": [{"method": "ppr_st", "phase": "train", "k": [100],
+                     "threshold": [0.01], "epsilon": [1e-6]}],
+    }
+    parsed = parse_config(cfg)
+    metrics = Metrics("collab", True, "hits50", 1)
+    tr = Trainer("collab", os.path.join(WORK, "data"), raw, parsed, metrics,
+                 Logger(metrics, f"/tmp/ab_ours_link_{seed}", no_log=True),
+                 seed=seed)
+    t0 = time.time()
+    tr.train()
+    acc = tr.logger.final_stats[TEST]["hits50"]
+    print(f"[ours seed {seed}] test hits50 = {acc:.4f} "
+          f"({time.time() - t0:.0f}s)")
+    return acc
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
@@ -222,6 +367,10 @@ def main():
                     choices=["all", "data", "ref", "ours"])
     ap.add_argument("--platform", default="cpu",
                     help="backend for OUR side (reference is torch cpu)")
+    ap.add_argument("--task", default="node", choices=["node", "link"],
+                    help="node = flickr sage_3_ppr semantics; link = "
+                         "collab leaderboard semantics (ppr_st + DRNL + "
+                         "sort pooling + hits@50)")
     args = ap.parse_args()
 
     os.makedirs(WORK, exist_ok=True)
@@ -229,18 +378,33 @@ def main():
         f.write(CONFIG_YML)
     with open(os.path.join(WORK, "ab_sage.yml"), "w") as f:
         f.write(TRAIN_YML.format(end=args.epochs))
+    with open(os.path.join(WORK, "ab_link.yml"), "w") as f:
+        f.write(LINK_TRAIN_YML.format(end=args.epochs))
 
-    out = {"task": "planted-SBM A/B vs reference", "nodes": args.nodes,
+    is_link = args.task == "link"
+    metric = "hits50" if is_link else "accuracy"
+    out = {"task": f"planted-SBM {args.task} A/B vs reference",
+           "metric": metric, "nodes": args.nodes,
            "epochs": args.epochs, "seeds": args.seeds}
     if args.stage in ("all", "data"):
-        ceiling = export_data(args.nodes)
-        out["feature_only_ceiling"] = round(ceiling, 4)
-        print(f"exported {WORK}/data/flickr (ceiling {ceiling:.4f})")
+        if is_link:
+            export_data_link(args.nodes)
+            print(f"exported {WORK}/data/collab")
+        else:
+            ceiling = export_data(args.nodes)
+            out["feature_only_ceiling"] = round(ceiling, 4)
+            print(f"exported {WORK}/data/flickr (ceiling {ceiling:.4f})")
     if args.stage in ("all", "ref"):
         ensure_engine()
-        accs = [run_reference(s, args.epochs)
-                for s in range(args.seed_start,
-                               args.seed_start + args.seeds)]
+        if is_link:
+            accs = [run_reference(s, args.epochs, dataset="collab",
+                                  metric="hits50", cfg_name="ab_link.yml")
+                    for s in range(args.seed_start,
+                                   args.seed_start + args.seeds)]
+        else:
+            accs = [run_reference(s, args.epochs)
+                    for s in range(args.seed_start,
+                                   args.seed_start + args.seeds)]
         import numpy as np
         out["reference_test_acc_mean"] = round(float(np.mean(accs)), 4)
         out["reference_test_acc_std"] = round(float(np.std(accs)), 4)
@@ -250,7 +414,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
         import numpy as np
-        accs = [run_ours(s, args.epochs)
+        f_run = run_ours_link if is_link else run_ours
+        accs = [f_run(s, args.epochs)
                 for s in range(args.seed_start,
                                args.seed_start + args.seeds)]
         out["ours_test_acc_mean"] = round(float(np.mean(accs)), 4)
