@@ -346,7 +346,11 @@ def run_ours_link(seed: int, epochs: int) -> float:
     }
     parsed = parse_config(cfg)
     metrics = Metrics("collab", True, "hits50", 1)
-    tr = Trainer("collab", os.path.join(WORK, "data"), raw, parsed, metrics,
+    # dir_data="" : do NOT share the ppr_float bin cache with the
+    # reference here — the link A/B runs both sides CONCURRENTLY and
+    # the cache writes are not atomic (the node A/B already proves the
+    # byte-compatible cache interop, sequentially).
+    tr = Trainer("collab", "", raw, parsed, metrics,
                  Logger(metrics, f"/tmp/ab_ours_link_{seed}", no_log=True),
                  seed=seed)
     t0 = time.time()
@@ -410,9 +414,10 @@ def main():
         out["reference_test_acc_std"] = round(float(np.std(accs)), 4)
         out["reference_test_accs"] = [round(a, 4) for a in accs]
     if args.stage in ("all", "ours"):
-        os.environ["JAX_PLATFORMS"] = args.platform
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+        if args.platform != "default":  # 'default' = session backend (TPU)
+            os.environ["JAX_PLATFORMS"] = args.platform
+            import jax
+            jax.config.update("jax_platforms", args.platform)
         import numpy as np
         f_run = run_ours_link if is_link else run_ours
         accs = [f_run(s, args.epochs)

@@ -103,3 +103,27 @@ def test_global_sort_pool_matches_pyg_semantics():
     np.testing.assert_allclose(out[0].numpy(), [1.0, 0.3, 3.0, 0.2])
     # graph 1: one node + zero padding
     np.testing.assert_allclose(out[1].numpy(), [4.0, 0.9, 0.0, 0.0])
+
+
+def test_link_evaluator_hits_matches_ogb_semantics():
+    """ogb.linkproppred.Evaluator shim (used by the reference's
+    metric.py:95-103 in the link A/B) == OGB's _eval_hits: threshold is
+    the K-th highest negative, hits = fraction of positives strictly
+    above it.  Cross-checked against this framework's hits_at_k so both
+    A/B sides provably score with identical semantics."""
+    from ogb.linkproppred import Evaluator
+    from shadow_gnn_tpu.train.metrics import hits_at_k
+
+    ev = Evaluator(name="ogbl-collab")
+    assert ev.K == 50
+    rng = np.random.default_rng(3)
+    pos = rng.normal(size=400).astype(np.float32)
+    neg = rng.normal(size=900).astype(np.float32)
+    got = ev.eval({"y_pred_pos": pos, "y_pred_neg": neg})["hits@50"]
+    kth = np.sort(neg)[-50]
+    assert got == pytest.approx(float((pos > kth).mean()))
+    assert got == pytest.approx(hits_at_k(pos, neg, 50))
+    # fewer negatives than K: every positive is a hit (ogb behavior)
+    assert ev.eval({"y_pred_pos": pos, "y_pred_neg": neg[:49]}
+                   )["hits@50"] == 1.0
+    assert hits_at_k(pos, neg[:49], 50) == 1.0
