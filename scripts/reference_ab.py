@@ -414,10 +414,14 @@ def main():
         out["reference_test_acc_std"] = round(float(np.std(accs)), 4)
         out["reference_test_accs"] = [round(a, 4) for a in accs]
     if args.stage in ("all", "ours"):
+        import jax
         if args.platform != "default":  # 'default' = session backend (TPU)
             os.environ["JAX_PLATFORMS"] = args.platform
-            import jax
             jax.config.update("jax_platforms", args.platform)
+        # persistent compile cache: seeds share identical program shapes
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         import numpy as np
         f_run = run_ours_link if is_link else run_ours
         accs = [f_run(s, args.epochs)
