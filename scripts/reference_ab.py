@@ -183,7 +183,8 @@ def export_data(nodes: int) -> float:
     return ceiling
 
 
-def export_data_link(nodes: int) -> None:
+def export_data_link(nodes: int, n_eval: int = 800,
+                     n_train: int = 4800) -> None:
     """Write a planted-community LINK dataset in shaDow's collab
     format (split.npy = {mode: {'pos'[, 'neg']}}, eval positives held
     OUT of the message adjacency — data_converter.py:376-388
@@ -204,7 +205,6 @@ def export_data_link(nodes: int) -> None:
     upper = src < indices                    # each undirected edge once
     pool = np.stack([src[upper], indices[upper]], 1).astype(np.int64)
     sel = rng.permutation(pool.shape[0])
-    n_eval, n_train = 800, 4800
     val_pos = pool[sel[:n_eval]]
     test_pos = pool[sel[n_eval:2 * n_eval]]
     train_pos = pool[sel[2 * n_eval:2 * n_eval + n_train]]
