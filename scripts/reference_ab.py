@@ -205,6 +205,10 @@ def export_data_link(nodes: int, n_eval: int = 800,
     upper = src < indices                    # each undirected edge once
     pool = np.stack([src[upper], indices[upper]], 1).astype(np.int64)
     sel = rng.permutation(pool.shape[0])
+    assert 2 * n_eval + n_train <= pool.shape[0], (
+        f"split sizes exceed edge pool: 2*{n_eval} + {n_train} > "
+        f"{pool.shape[0]} undirected edges — shrink n_eval/n_train or "
+        "grow the graph")
     val_pos = pool[sel[:n_eval]]
     test_pos = pool[sel[n_eval:2 * n_eval]]
     train_pos = pool[sel[2 * n_eval:2 * n_eval + n_train]]

@@ -11,7 +11,6 @@ msgpack instead of torch.save.
 """
 from __future__ import annotations
 
-import csv
 import os
 import shutil
 import time
@@ -48,6 +47,10 @@ class Logger:
         # per-mode per-epoch histories
         self.epoch_stats: Dict[int, List[Dict[str, float]]] = {
             TRAIN: [], VALID: [], TEST: []}
+        # most recent TRAIN epoch index — VALID/TEST csv rows are
+        # annotated with it (reference logging_base.py:438-442)
+        self._train_epoch = -1
+        self._final_header_done = False
         # windowed best tracking over VALID
         self.loss_min_hist = float("inf")
         self.metric_max_hist = float("-inf")
@@ -66,27 +69,48 @@ class Logger:
         mstr = " / ".join(f"{k} = {v:.5f}" for k, v in stats.items())
         print(f"[{MODE2STR[mode]:^5s}] ep {epoch:4d} ({status}): {mstr}"
               f"  ({time_s:.2f}s)")
-        if self.no_log:
+        if status == "running" and mode == TRAIN:
+            self._train_epoch = epoch
+        if self.no_log or status != "running":
             return
+        # reference epoch-CSV protocol (logging_base.py:398-404,436-442):
+        # header 'epoch, {mode}_loss, {mode}_{metric}...'; TRAIN rows lead
+        # with the epoch index, VALID/TEST rows annotate it with the
+        # train epoch they interleave: '{e:4d} ({train_e:4d})'
         path = self._csv_path(mode)
-        new = not os.path.isfile(path)
-        with open(path, "a", newline="") as f:
-            w = csv.writer(f)
-            if new:
-                w.writerow(["epoch"] + list(stats.keys()))
-            w.writerow([epoch] + [f"{v:.6f}" for v in stats.values()])
+        ms = MODE2STR[mode]
+        keys = [k for k in stats if k != "loss"]
+        with open(path, "a") as f:
+            if f.tell() == 0:
+                f.write(f"epoch, {ms}_loss, "
+                        + ", ".join(f"{ms}_{k}" for k in keys) + "\n")
+            if mode == TRAIN:
+                head = f"{epoch:4d}"
+            else:
+                head = f"{epoch:4d} ({self._train_epoch:4d})"
+            f.write(head + ", " + f"{stats['loss']:.5f}, "
+                    + ", ".join(f"{stats[k]:.5f}" for k in keys) + "\n")
 
     def log_final(self, mode: int, stats: Dict[str, float]):
         self.final_stats[mode] = dict(stats)
         if self.no_log:
             return
+        # reference final-CSV protocol (logging_base.py:404-409,443-454):
+        # ONE header row spanning train/valid/test columns, then ONE data
+        # row assembled incrementally ('," "' fragments for train/valid,
+        # newline after test)
         path = f"{self.dir_log}/final.csv"
-        new = not os.path.isfile(path)
-        with open(path, "a", newline="") as f:
-            w = csv.writer(f)
-            if new:
-                w.writerow(["mode"] + list(stats.keys()))
-            w.writerow([MODE2STR[mode]] + [f"{v:.6f}" for v in stats.values()])
+        keys = [k for k in stats if k != "loss"]
+        with open(path, "a") as f:
+            if not self._final_header_done and f.tell() == 0:
+                f.write(", ".join(
+                    f"{MODE2STR[m]}_loss, "
+                    + ", ".join(f"{MODE2STR[m]}_{k}" for k in keys)
+                    for m in (TRAIN, VALID, TEST)) + "\n")
+                self._final_header_done = True
+            frag = (f"{stats['loss']:.5f}, "
+                    + ", ".join(f"{stats[k]:.5f}" for k in keys))
+            f.write(frag + ("\n" if mode == TEST else ", "))
 
     def final_summary(self):
         """The machine-readable line scraped by the multi-run wrapper

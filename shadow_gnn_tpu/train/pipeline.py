@@ -1091,15 +1091,10 @@ class Trainer:
         self._ensure_tables(mode)
         self._ensure_caches(mode)
         if epoch == 0 and status == "running" and self.profiler.enabled:
-            # subgraph statistics over a couple of batches, printed once
-            # then cleared (reference profiler protocol, main.py:165,188)
-            _, roots_p, rows_p, _, _, _, _ = self._epoch_arrays(mode)
-            arrays_p = self._mode_arrays(mode)
-            for ib in range(min(2, roots_p.shape[0])):
-                bs, _ = self._sample_branch_batches(
-                    mode, roots_p[ib], rows_p[ib], jax.random.PRNGKey(0),
-                    arrays_p)
-                self.profiler.update_batch(bs)
+            # subgraph statistics over the FULL first epoch (reference
+            # profiler protocol: accumulate epoch 0, print, clear —
+            # main.py:165,188), as one sampling-only chunked scan
+            self._profile_epoch(mode)
             print(f"[profiler] {MODE2STR[mode]} subgraph stats:")
             self.profiler.print_summary()
             self.profiler.clear_metrics()
@@ -1169,7 +1164,8 @@ class Trainer:
             self.run_epoch(e, TRAIN)
             self.run_epoch(e, VALID)
             if log_test_convergence > 0 and e % log_test_convergence == 0:
-                self.run_epoch(e // log_test_convergence, TEST)
+                # labeled with the TRAIN epoch it tracks (main.py:185-186)
+                self.run_epoch(e, TEST)
             self.logger.update_best_model(e, self.params, self.opt_state)
         self.logger.validate_result()
         print("=" * 22 + "\nOptimization Finished!\n" + "=" * 22)
@@ -1345,6 +1341,78 @@ class Trainer:
                 for i in range(self.num_ensemble):
                     embs[i][r[valid]] = emb_all[ib, i][valid]
         return embs
+
+    def _profile_chunk_fn(self, mode: int):
+        """Sampling-only chunk program returning per-branch reductions
+        (hop one-hot composition, node/edge counts) — the device half of
+        the full-first-epoch SubgraphProfiler pass."""
+        from shadow_gnn_tpu.sampling.batch import hop2onehot
+        cfgs = tuple(br["cfg"][mode] for br in self.branches)
+        kinds = self._branch_kinds(mode)
+        key = ("prof", cfgs, kinds)
+        if key in self._epoch_fns:
+            return self._epoch_fns[key], kinds
+        branch_batches = self._branch_batches_fn(cfgs, kinds)
+
+        def p_step(graph, feat_tab, rng, x):
+            roots, w, bxs = x
+            rng, r_samp = jax.random.split(rng)
+            batches, _ = branch_batches(graph, feat_tab, roots, r_samp, bxs)
+            outs = []
+            for b in batches:
+                valid = (w > 0)
+                m = b.node_mask & valid[:, None]
+                oh = (hop2onehot(b.hop) * m[..., None]).sum((0, 1))
+                nodes = (b.size * valid).sum()
+                edges = (b.adj.sum((1, 2)) * valid).sum()
+                outs.append((oh, nodes.astype(jnp.float32),
+                             edges, valid.sum()))
+            return rng, tuple(outs)
+
+        @jax.jit
+        def chunk(params, rng, mode_train, graph, feat_tab, xs):
+            # params/mode_train unused — signature shared with the eval
+            # chunk so _run_profile can mirror _run_chunks' plumbing
+            rng, outs = jax.lax.scan(
+                partial(p_step, graph, feat_tab), rng, xs)
+            return rng, jax.tree_util.tree_map(lambda a: a.sum(0), outs)
+
+        self._epoch_fns[key] = chunk
+        return chunk, kinds
+
+    def _profile_epoch(self, mode: int):
+        """Accumulate SubgraphProfiler statistics over every batch of one
+        epoch-equivalent pass (reference accumulates its whole first
+        epoch, main.py:165,188; round-2 sampled only 2 batches)."""
+        fn, kinds = self._profile_chunk_fn(mode)
+        (nb, roots, rows, _lab, w_dev, _ln, _wn) = self._epoch_arrays(mode)
+        graph, feat_tab = self.graph[mode], self.feat_tab
+        C = self.chunk_batches if self.chunk_batches > 0 else nb
+        n_chunks = -(-nb // C)
+        rng = jax.random.PRNGKey(0)
+        mt = jnp.asarray(mode == TRAIN)
+        acc = None
+        for ci in range(n_chunks):
+            s, e = ci * C, min((ci + 1) * C, nb)
+            pad = C - (e - s)
+
+            def cut(a):
+                sl = a[s:e]
+                if pad:
+                    sl = jnp.concatenate(
+                        [sl, jnp.repeat(a[s:s + 1], pad, 0)], 0)
+                return sl
+
+            w_c = cut(w_dev)
+            if pad:
+                w_c = w_c.at[e - s:].set(0.0)
+            xs = (cut(roots), w_c, self._pregather(mode, kinds, cut(rows)))
+            rng, outs = fn(self.params, rng, mt, graph, feat_tab, xs)
+            acc = outs if acc is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc, outs)
+        for i, (oh, nodes, edges, nsub) in enumerate(acc):
+            self.profiler.update_stats(i, np.asarray(oh), float(nodes),
+                                       float(edges), int(nsub))
 
     def inference(self, modes=(VALID, TEST)):
         for md in modes:

@@ -30,6 +30,20 @@ class SubgraphProfiler:
         self.num_edges = [0.0] * self.num_ensemble
         self.enabled = bool(self.metrics.get("global"))
 
+    def update_stats(self, i: int, hop_comp: np.ndarray, num_nodes: float,
+                     num_edges: float, num_subg: int):
+        """Feed pre-reduced aggregates for branch ``i`` (the jitted
+        full-epoch profile pass returns device-side reductions instead
+        of per-batch SubgraphBatch pytrees)."""
+        if not self.enabled:
+            return
+        if "hops" in self.metrics.get("global", ()):
+            self.hop_comp[i] += np.asarray(hop_comp)
+        if "sizes" in self.metrics.get("global", ()):
+            self.num_nodes[i] += float(num_nodes)
+            self.num_edges[i] += float(num_edges)
+        self.num_subg[i] += int(num_subg)
+
     def update_batch(self, batches: List[SubgraphBatch]):
         if not self.enabled:
             return

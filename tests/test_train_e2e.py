@@ -118,6 +118,57 @@ def test_training_learns(tmp_path):
     assert abs(stats_before["accuracy"] - stats_after["accuracy"]) < 1e-6
 
 
+def test_csv_reference_protocol(tmp_path):
+    """epoch/final CSVs follow the reference's file protocol
+    (logging_base.py:398-409,436-454): mode-prefixed headers, VALID/TEST
+    rows annotated with the train epoch, single-row final.csv."""
+    cfg = {**BASE_CONFIG,
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 2}}
+    tr = make_trainer(tmp_path, cfg)
+    tr.train()
+    with open(tmp_path / "log" / "epoch_train.csv") as f:
+        lines = [l.rstrip("\n") for l in f]
+    assert lines[0].split(", ")[:2] == ["epoch", "train_loss"]
+    assert lines[1].split(", ")[0].strip() == "0"
+    with open(tmp_path / "log" / "epoch_valid.csv") as f:
+        lines = [l.rstrip("\n") for l in f]
+    assert lines[0].split(", ")[:2] == ["epoch", "valid_loss"]
+    # 'e (train_e)' annotation, parseable like the reference's rows
+    e_field = lines[1].split(", ")[0]
+    assert "(" in e_field and ")" in e_field
+    ep, tr_ep = e_field.replace(")", "").split("(")
+    assert int(ep) == 0 and int(tr_ep) == 0
+    e2 = lines[2].split(", ")[0].replace(")", "").split("(")
+    assert int(e2[0]) == 1 and int(e2[1]) == 1
+    with open(tmp_path / "log" / "final.csv") as f:
+        lines = [l.rstrip("\n") for l in f if l.strip()]
+    assert len(lines) == 2, "final.csv must be ONE header + ONE data row"
+    hdr = lines[0].split(", ")
+    assert hdr[0] == "train_loss" and "valid_loss" in hdr and \
+        hdr[-2] == "test_loss" or "test_loss" in hdr
+    assert len(lines[1].split(", ")) == len(hdr)
+    vals = [float(v) for v in lines[1].split(", ")]
+    assert all(np.isfinite(vals))
+
+
+def test_profiler_full_epoch(tmp_path):
+    """The first-epoch profiler pass covers the FULL epoch (reference
+    accumulates its whole first epoch, main.py:165,188)."""
+    tr = make_trainer(tmp_path, BASE_CONFIG)
+    tr._ensure_tables(TRAIN)
+    tr._ensure_caches(TRAIN)
+    assert tr.profiler.enabled
+    rng_state = tr.rng_np.bit_generator.state
+    tr._profile_epoch(TRAIN)
+    tr.rng_np.bit_generator.state = rng_state
+    n_train = len(np.asarray(tr.entity_set[TRAIN]))
+    assert tr.profiler.num_subg[0] == n_train
+    assert tr.profiler.num_nodes[0] > n_train      # scopes beyond the root
+    assert tr.profiler.num_edges[0] > 0
+    hop = tr.profiler.hop_comp[0]
+    assert hop.sum() > 0 and hop[1] == n_train     # one 'self' per root
+
+
 @pytest.mark.parametrize("aggr,extra", [
     ("gcn", {}),
     ("gat", {"heads": 2}),
