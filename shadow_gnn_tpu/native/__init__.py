@@ -48,7 +48,7 @@ rc = lib.shadow_ppr_push(
     targets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     ctypes.c_int64(1),
     ctypes.c_int(2), ctypes.c_float(0.85), ctypes.c_float(1e-4),
-    ctypes.c_int(1),
+    ctypes.c_int(1), ctypes.c_int(0),
     out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
 sys.exit(0 if rc == 0 else 1)
@@ -110,18 +110,38 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.shadow_ragged_offsets.restype = ctypes.c_int
+    lib.shadow_ragged_offsets.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
     return lib
 
 
+def _auto_dense(n_nodes: int, n_threads: int) -> int:
+    """Pick dense vs map push state from available memory: dense costs
+    9 bytes/node/thread (pi + residue f32 + pending byte) and is several
+    times faster; take it whenever it fits in half of free RAM."""
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    try:
+        free = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):
+        return 0                      # fall back to the reference's 5M rule
+    return 1 if 9 * n_nodes * n_threads < free // 2 else 2
+
+
 def ppr_push_native(indptr: np.ndarray, indices: np.ndarray,
                     targets: np.ndarray, k: int, alpha_int: float,
-                    epsilon: float, n_threads: int = 0
-                    ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+                    epsilon: float, n_threads: int = 0,
+                    as_dense: bool = False):
     """Multi-threaded forward-push PPR; same output contract as
-    ppr_push_host (per-target descending top-k lists)."""
+    ppr_push_host (per-target descending top-k lists), or the raw
+    [T, k] padded tables when ``as_dense`` (pad id=-1, score=0)."""
     lib = get_lib()
     indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
     indices32 = np.ascontiguousarray(indices, dtype=np.int32)
@@ -136,9 +156,27 @@ def ppr_push_native(indptr: np.ndarray, indices: np.ndarray,
         indices32.size,
         targets64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nt,
         k, ctypes.c_float(alpha_int), ctypes.c_float(epsilon), n_threads,
+        _auto_dense(indptr64.size - 1, n_threads),
         out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     assert ret == 0
+    if as_dense:
+        return out_n, out_s
     neighs = [row[row >= 0] for row in out_n]
     scores = [s[:n.size] for n, s in zip(neighs, out_s)]
     return neighs, scores
+
+
+def ragged_offsets(buf_u4: np.ndarray, cnt: int) -> np.ndarray:
+    """Positions of the per-row length words in a reference ragged bin
+    buffer (native sequential scan; raises on truncated files)."""
+    lib = get_lib()
+    buf = np.ascontiguousarray(buf_u4, dtype=np.uint32)
+    out = np.empty(cnt, dtype=np.int64)
+    ret = lib.shadow_ragged_offsets(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(buf.size), ctypes.c_uint32(cnt),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if ret != 0:
+        raise ValueError("truncated ragged bin buffer")
+    return out

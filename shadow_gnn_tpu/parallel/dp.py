@@ -100,7 +100,12 @@ def make_dp_train_step(trainer, mode: int, n_devices: int,
             return params, opt_state, loss, logits, ovf
         return params, opt_state, loss
 
-    out_sh = ((repl, repl, repl, bshard, repl) if return_logits
+    # multi-process: the driver computes metrics on the host from the
+    # GLOBAL logits, which no single process could fetch from a
+    # dp-sharded output — return them replicated (GSPMD inserts an
+    # all-gather of the tiny [b, C] block)
+    logits_sh = repl if multi else bshard
+    out_sh = ((repl, repl, repl, logits_sh, repl) if return_logits
               else (repl, repl, repl))
     step_inner = jax.jit(
         _step,

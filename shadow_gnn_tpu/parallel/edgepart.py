@@ -710,6 +710,10 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             feats.append(feat)
         return batches, feats
 
+    # multi-process: the driver's metric pass needs GLOBAL logits on
+    # every host — all-gather the [b, C] block in-program
+    multi = jax.process_count() > 1
+
     def _inner(params, opt_state, rng, roots, rows, labels, w, tabs_local,
                feat_local, csr_ptr_blk, csr_idx_blk):
         csr_loc = (_squeeze_block(csr_ptr_blk), _squeeze_block(csr_idx_blk))
@@ -721,6 +725,9 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             model, opt, cfg_m, axis, params, opt_state, batches, feats,
             labels, w, r_do, r_de)
         if return_logits:
+            if multi:
+                logits = jax.lax.all_gather(logits, axis, axis=0,
+                                            tiled=True)
             return params, opt_state, loss, logits, ovf
         return params, opt_state, loss
 
@@ -759,8 +766,12 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
         # (reference models.py:182-183 semantics, as on the single-
         # program eval path)
         from shadow_gnn_tpu import TRAIN as _TRAIN
-        return spmd_eval_loss(model, cfg_m, axis, params, batches, feats,
-                              labels, w, mode == _TRAIN)
+        loss, logits, ovf = spmd_eval_loss(model, cfg_m, axis, params,
+                                           batches, feats, labels, w,
+                                           mode == _TRAIN)
+        if multi:
+            logits = jax.lax.all_gather(logits, axis, axis=0, tiled=True)
+        return loss, logits, ovf
 
     n_slice = len(cfgs)
     tab_specs = tuple((P(axis, None), P(axis, None))
@@ -784,7 +795,8 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             return jit_epoch(params, opt_state, rng, roots, rows, labels,
                              w, tabs_sharded, feat_sharded, *csr_dev)
     elif train:
-        out_specs = ((P(), P(), P(), P(axis), P()) if return_logits
+        logits_spec = P() if multi else P(axis)
+        out_specs = ((P(), P(), P(), logits_spec, P()) if return_logits
                      else (P(), P(), P()))
         jit_inner = jax.jit(jax.shard_map(
             _inner, mesh=mesh,
@@ -802,7 +814,7 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             _inner_eval, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis))
             + state_specs,
-            out_specs=(P(), P(axis), P()),
+            out_specs=(P(), P() if multi else P(axis), P()),
             check_vma=False,
         ))
 

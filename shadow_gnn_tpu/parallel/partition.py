@@ -188,6 +188,11 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
             feats.append(feat)
         return batches, feats
 
+    # multi-process: every host's driver needs the GLOBAL logits for its
+    # metric computation (identical on all hosts) — all-gather the tiny
+    # [b, C] block in-program and return it replicated
+    multi = jax.process_count() > 1
+
     def _step(params, opt_state, rng, roots, rows, labels, w, feat_local,
               g_arrays, tabs):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
@@ -198,6 +203,9 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
             model, opt, cfg_m, axis, params, opt_state, batches, feats,
             labels, w, r_do, r_de)
         if return_logits:
+            if multi:
+                logits = jax.lax.all_gather(logits, axis, axis=0,
+                                            tiled=True)
             return params, opt_state, loss, logits, ovf
         return params, opt_state, loss
 
@@ -208,11 +216,16 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
         batches, feats = _sample_all(r_samp, roots, rows, feat_local,
                                      g_arrays, tabs)
         from shadow_gnn_tpu import TRAIN as _TRAIN
-        return spmd_eval_loss(model, cfg_m, axis, params, batches, feats,
-                              labels, w, mode == _TRAIN)
+        loss, logits, ovf = spmd_eval_loss(model, cfg_m, axis, params,
+                                           batches, feats, labels, w,
+                                           mode == _TRAIN)
+        if multi:
+            logits = jax.lax.all_gather(logits, axis, axis=0, tiled=True)
+        return loss, logits, ovf
 
+    logits_spec = P() if multi else P(axis)
     if train:
-        out_specs = ((P(), P(), P(), P(axis), P()) if return_logits
+        out_specs = ((P(), P(), P(), logits_spec, P()) if return_logits
                      else (P(), P(), P()))
         sharded = jax.jit(jax.shard_map(
             _step, mesh=mesh,
@@ -230,7 +243,7 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
             _step_eval, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
                       P(axis, None), P(), P()),
-            out_specs=(P(), P(axis), P()),
+            out_specs=(P(), logits_spec, P()),
             check_vma=False,
         ))
 

@@ -167,9 +167,15 @@ def ppr_power_device(indptr: np.ndarray, indices: np.ndarray,
     return neighs, scores
 
 
-def ppr_topk_tables(neighs: list, scores: list, k: int
+def ppr_topk_tables(neighs, scores, k: int
                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad per-target lists into dense [T, k] tables (pad: id=-1, score=0)."""
+    """Pad per-target lists into dense [T, k] tables (pad: id=-1, score=0).
+
+    Dense [T, >=k] inputs (native as_dense / merged shards) pass through
+    with a clip."""
+    if isinstance(neighs, np.ndarray) and neighs.ndim == 2:
+        return (np.ascontiguousarray(neighs[:, :k], np.int32),
+                np.ascontiguousarray(np.asarray(scores)[:, :k], np.float32))
     t = len(neighs)
     tab_n = np.full((t, k), -1, dtype=np.int32)
     tab_s = np.zeros((t, k), dtype=np.float32)
@@ -218,62 +224,190 @@ def find_ppr_cache(dir_data: str, name_data: str, is_transductive: bool,
     return None, None
 
 
-def _write_ragged(path: str, vecs: list, fmt_item: str, k: int,
-                  alpha_int: float, epsilon: float):
-    with open(path, "wb") as f:
-        f.write(struct.pack("<ffiI", alpha_int, epsilon, k, len(vecs)))
-        for v in vecs:
-            f.write(struct.pack("<I", len(v)))
-            f.write(np.asarray(v).astype("<u4" if fmt_item == "I" else "<f4").tobytes())
+def _write_ragged_vec(path: str, lengths: np.ndarray, payload: np.ndarray,
+                      k: int, alpha_int: float, epsilon: float):
+    """One-shot vectorized ragged writer: assemble the whole file as a
+    u32 word buffer (length words scattered to their computed offsets,
+    payload filling the gaps) and write it in one ``tofile``.  The
+    round-2 per-row ``struct.pack`` loop took hours at 111M rows; this
+    is bandwidth-bound (~seconds)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    cnt = lengths.size
+    total_words = 4 + cnt + int(lengths.sum())
+    arr = np.zeros(total_words, dtype="<u4")
+    arr[:4] = np.frombuffer(
+        struct.pack("<ffiI", alpha_int, epsilon, k, cnt), "<u4")
+    pos = 4 + np.arange(cnt, dtype=np.int64)
+    pos[1:] += np.cumsum(lengths[:-1])
+    arr[pos] = lengths.astype("<u4")
+    mask = np.ones(total_words, bool)
+    mask[:4] = False
+    mask[pos] = False
+    arr[mask] = np.ascontiguousarray(payload).view("<u4")
+    arr.tofile(path)
+
+
+def _ragged_payloads(target_rows: np.ndarray, num_nodes: int, neighs,
+                     scores):
+    """(lengths[num_nodes], neighs payload, scores payload) in node-id
+    row order, from either per-target ragged lists or dense [T, k]
+    tables (pad id=-1)."""
+    targets = np.asarray(target_rows, dtype=np.int64)
+    order = np.argsort(targets, kind="stable")
+    lengths = np.zeros(num_nodes, np.int64)
+    if isinstance(neighs, np.ndarray) and neighs.ndim == 2:
+        ln = (neighs >= 0).sum(1).astype(np.int64)
+        lengths[targets] = ln
+        sel = (neighs >= 0)[order]
+        n_pay = neighs[order][sel].astype("<u4")
+        s_pay = np.asarray(scores)[order][sel].astype("<f4")
+    else:
+        ln = np.fromiter((len(v) for v in neighs), np.int64,
+                         count=len(neighs))
+        lengths[targets] = ln
+        if len(neighs):
+            n_pay = np.concatenate(
+                [np.asarray(neighs[i]) for i in order]).astype("<u4")
+            s_pay = np.concatenate(
+                [np.asarray(scores[i]) for i in order]).astype("<f4")
+        else:
+            n_pay = np.zeros(0, "<u4")
+            s_pay = np.zeros(0, "<f4")
+    return lengths, n_pay, s_pay
 
 
 def write_ppr_cache(fname_neighs: str, fname_scores: str, num_nodes: int,
-                    target_rows: np.ndarray, neighs: list, scores: list,
+                    target_rows: np.ndarray, neighs, scores,
                     k: int, alpha_config: float, epsilon: float):
     """Write the reference bin format; non-target rows get empty lists.
 
     Header stores the *internal* alpha (1 - config alpha), matching the
-    value the C++ writes after its flip at cpp:242.
+    value the C++ writes after its flip at cpp:242.  ``neighs``/``scores``
+    accept per-target ragged lists or dense [T, k] tables (pad id=-1).
     """
     os.makedirs(os.path.dirname(fname_neighs), exist_ok=True)
     alpha_int = 1.0 - alpha_config
-    nv = [np.zeros(0, np.uint32)] * num_nodes
-    sv = [np.zeros(0, np.float32)] * num_nodes
-    for row, t in enumerate(np.asarray(target_rows)):
-        nv[int(t)] = neighs[row]
-        sv[int(t)] = scores[row]
-    _write_ragged(fname_neighs, nv, "I", k, alpha_int, epsilon)
-    _write_ragged(fname_scores, sv, "f", k, alpha_int, epsilon)
+    lengths, n_pay, s_pay = _ragged_payloads(target_rows, num_nodes,
+                                             neighs, scores)
+    _write_ragged_vec(fname_neighs, lengths, n_pay, k, alpha_int, epsilon)
+    _write_ragged_vec(fname_scores, lengths, s_pay, k, alpha_int, epsilon)
+
+
+class RaggedRows:
+    """Zero-copy view over one ragged bin file: row i is
+    ``buf[pos[i]+1 : pos[i]+1+len_i]`` viewed as ``dtype``, clipped to
+    the requested k (the reference's deg_clip, cpp:188-196)."""
+
+    def __init__(self, buf: np.ndarray, pos: np.ndarray,
+                 lengths: np.ndarray, k: int, dtype: str):
+        self._buf = buf
+        self._pos = pos
+        self.lengths = lengths
+        self.k = k
+        self.dtype = dtype
+
+    def __len__(self):
+        return self._pos.size
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        l = min(int(self.lengths[i]), self.k)
+        p = int(self._pos[i]) + 1
+        return self._buf[p:p + l].view(self.dtype)
+
+
+def _ragged_offsets(buf: np.ndarray, cnt: int) -> np.ndarray:
+    try:
+        from shadow_gnn_tpu.native import ragged_offsets
+        return ragged_offsets(buf, cnt)
+    except (ImportError, OSError):
+        pos = np.empty(cnt, np.int64)
+        p = 4
+        for i in range(cnt):
+            pos[i] = p
+            p += 1 + int(buf[p])
+        return pos
 
 
 def read_ppr_cache(fname_neighs: str, fname_scores: str, k: int,
                    alpha_config: float, epsilon: float
-                   ) -> Optional[Tuple[list, list]]:
+                   ) -> Optional[Tuple[RaggedRows, RaggedRows]]:
     """Read the bin cache; None on meta mismatch (ref cpp:145-231).
 
-    Clips each row to k like the reference's deg_clip.
-    Returns full-length (num_nodes) ragged lists.
+    Returns full-length (num_nodes) row views, each clipped to k like
+    the reference's deg_clip.  The file parses as one bulk read + a
+    native offset scan instead of 2*num_nodes struct.unpack calls.
     """
     if not (os.path.isfile(fname_neighs) and os.path.isfile(fname_scores)):
         return None
     alpha_int = 1.0 - alpha_config
 
     def read_file(path, np_dtype):
-        with open(path, "rb") as f:
-            a, e, k_, cnt = struct.unpack("<ffiI", f.read(16))
-            if abs(a - np.float32(alpha_int)) > 1e-7 or e > 1.1 * epsilon \
-                    or e < 0.9 * epsilon or k_ < k:
-                return None
-            out = []
-            for _ in range(cnt):
-                (sz,) = struct.unpack("<I", f.read(4))
-                row = np.frombuffer(f.read(4 * sz), dtype=np_dtype)
-                out.append(row[:k])
-            return out
-    nv = read_file(fname_neighs, "<u4")
+        buf = np.fromfile(path, dtype="<u4")
+        a, e, k_, cnt = struct.unpack("<ffiI", buf[:4].tobytes())
+        if abs(a - np.float32(alpha_int)) > 1e-7 or e > 1.1 * epsilon \
+                or e < 0.9 * epsilon or k_ < k:
+            return None
+        pos = _ragged_offsets(buf, cnt)
+        return RaggedRows(buf, pos, buf[pos].astype(np.int64), k, np_dtype)
+    nv = read_file(fname_neighs, "<i4")
     if nv is None:
         return None
     sv = read_file(fname_scores, "<f4")
     if sv is None:
         return None
-    return [n.astype(np.int32) for n in nv], [s.astype(np.float32) for s in sv]
+    return nv, sv
+
+
+# ---------------------------------------------------------------------------
+# multi-host sharded precompute (papers100M path)
+# ---------------------------------------------------------------------------
+#
+# The push is embarrassingly parallel over targets; the reference caps it
+# at one host's OpenMP threads (ParallelSampler.cpp:255).  Here each host
+# computes a round-robin slice of the target set (targets[shard::n])
+# and writes a partial .npz; any host then merges the partials into the
+# standard reference-format bin pair with the vectorized writer.
+
+def shard_targets(targets: np.ndarray, shard: int, n_shards: int
+                  ) -> np.ndarray:
+    """Round-robin slice (balances hub-adjacent targets across hosts)."""
+    assert 0 <= shard < n_shards
+    return np.asarray(targets)[shard::n_shards]
+
+
+def ppr_shard_path(fname_neighs: str, shard: int, n_shards: int) -> str:
+    return f"{fname_neighs}.shard{shard}of{n_shards}.npz"
+
+
+def write_ppr_shard(path: str, targets_sel: np.ndarray, tab_n: np.ndarray,
+                    tab_s: np.ndarray, k: int, alpha_config: float,
+                    epsilon: float):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, targets=np.asarray(targets_sel, np.int64),
+             neighs=np.asarray(tab_n, np.int32),
+             scores=np.asarray(tab_s, np.float32),
+             meta=np.asarray([1.0 - alpha_config, epsilon, k], np.float64))
+
+
+def merge_ppr_shards(fname_neighs: str, fname_scores: str, num_nodes: int,
+                     n_shards: int, k: int, alpha_config: float,
+                     epsilon: float, cleanup: bool = True):
+    """Assemble shard .npz partials into the standard bin cache pair."""
+    tg, nn, ss = [], [], []
+    for s in range(n_shards):
+        p = ppr_shard_path(fname_neighs, s, n_shards)
+        z = np.load(p)
+        meta = z["meta"]
+        assert abs(meta[0] - (1.0 - alpha_config)) < 1e-9 and \
+            abs(meta[1] - epsilon) < 1e-12 and int(meta[2]) == k, \
+            f"shard {p} meta mismatch: {meta}"
+        tg.append(z["targets"])
+        nn.append(z["neighs"])
+        ss.append(z["scores"])
+    targets = np.concatenate(tg)
+    assert np.unique(targets).size == targets.size, "overlapping shards"
+    write_ppr_cache(fname_neighs, fname_scores, num_nodes, targets,
+                    np.vstack(nn), np.vstack(ss), k, alpha_config, epsilon)
+    if cleanup:
+        for s in range(n_shards):
+            os.remove(ppr_shard_path(fname_neighs, s, n_shards))

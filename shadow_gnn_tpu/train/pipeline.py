@@ -996,41 +996,41 @@ class Trainer:
         to the default device at the end so eval epochs and
         checkpointing see ordinary arrays.
         """
-        if jax.process_count() > 1:
-            # driver-level partition epochs compute metrics from the
-            # global logits, which a single host cannot fetch; multi-
-            # process jobs use the library-level steps with process-
-            # local rows (parallel/dp.py docstring, tests/
-            # test_multiprocess.py) until per-host metric reduction
-            # lands
-            raise NotImplementedError(
-                "--partition Trainer epochs are single-process; in "
-                "multi-process jobs drive the parallel/ step factories "
-                "directly with process-local batch rows")
+        multi = jax.process_count() > 1
         if mode not in self._partition_fns:
             n = self.partition_devices or len(jax.devices())
             if self.partition == "dp":
                 from shadow_gnn_tpu.parallel.dp import make_dp_train_step
+                from shadow_gnn_tpu.parallel import multihost as mh
                 step, shard, repl = make_dp_train_step(
-                    self, mode, n, return_logits=True)
+                    self, mode, n, return_logits=True,
+                    mesh=mh.global_dp_mesh() if multi else None)
             elif self.partition == "feat":
                 from shadow_gnn_tpu.parallel.partition import (
                     make_sharded_train_step)
+                from shadow_gnn_tpu.parallel import multihost as mh
                 step, shard, repl, _ = make_sharded_train_step(
-                    self, mode, n, return_logits=True)
+                    self, mode, n, return_logits=True,
+                    mesh=mh.global_dp_mesh() if multi else None)
             else:
                 from shadow_gnn_tpu.parallel.edgepart import (
                     make_edgepart_train_step)
-                # one program per EPOCH (scan over batches): per-batch
-                # dispatches cost ~7ms each through the remote-TPU
-                # tunnel
+                from shadow_gnn_tpu.parallel import multihost as mh
+                # single-process: one program per EPOCH (scan over
+                # batches — per-batch dispatches cost ~7ms each through
+                # the remote-TPU tunnel).  Multi-process: per-batch steps
+                # with process-local rows (every host feeds only its
+                # slice; logits come back replicated for the metric
+                # pass)
                 step, shard, repl = make_edgepart_train_step(
-                    self, mode, n, epoch_scan=True)
+                    self, mode, n, epoch_scan=not multi,
+                    return_logits=multi,
+                    mesh=mh.global_dp_mesh() if multi else None)
             self._partition_fns[mode] = (step, shard, repl)
         step, shard, repl = self._partition_fns[mode]
         params = repl(self.params)
         opt_state = repl(self.opt_state)
-        if self.partition == "edge":
+        if self.partition == "edge" and not multi:
             xs = shard((roots, rows, labels, w))
             params, opt_state, losses, logits, ovf = step(
                 params, opt_state, rng, *xs)
@@ -1038,9 +1038,14 @@ class Trainer:
             preds = np.asarray(predict_fn(self.model_cfg, logits))
             ovf = int(ovf)
         else:
+            bsl = slice(None)
+            if multi:
+                from shadow_gnn_tpu.parallel import multihost as mh
+                bsl = mh.process_slice(self.batch_size)
             losses, preds, ovf = [], [], 0
             for ib in range(nb):
-                xs = shard((roots[ib], rows[ib], labels[ib], w[ib]))
+                xs = shard(tuple(np.asarray(a[ib])[bsl]
+                                 for a in (roots, rows, labels, w)))
                 params, opt_state, loss, logits, ovf_b = step(
                     params, opt_state, jax.random.fold_in(rng, ib), *xs)
                 losses.append(loss)
@@ -1060,25 +1065,36 @@ class Trainer:
         """EVAL epoch over the multi-device partition step ('feat' /
         'edge'): the graph/feature/table shards never need to fit one
         device for evaluation either."""
+        multi = jax.process_count() > 1
         key = ("eval", mode)
         if key not in self._partition_fns:
             n = self.partition_devices or len(jax.devices())
-            if self.partition == "feat":
+            from shadow_gnn_tpu.parallel import multihost as mh
+            mesh = mh.global_dp_mesh() if multi else None
+            if self.partition in ("feat", "dp"):
+                # 'dp' reaches here only multi-process (its single-
+                # process evals ride _run_chunks); the row-sharded eval
+                # step is a superset of replicated-feature DP
                 from shadow_gnn_tpu.parallel.partition import (
                     make_sharded_train_step)
                 step, shard, repl, _ = make_sharded_train_step(
-                    self, mode, n, train=False)
+                    self, mode, n, train=False, mesh=mesh)
             else:
                 from shadow_gnn_tpu.parallel.edgepart import (
                     make_edgepart_train_step)
                 step, shard, repl = make_edgepart_train_step(
-                    self, mode, n, train=False)
+                    self, mode, n, train=False, mesh=mesh)
             self._partition_fns[key] = (step, shard, repl)
         step, shard, repl = self._partition_fns[key]
         params = repl(self.params)
+        bsl = slice(None)
+        if multi:
+            from shadow_gnn_tpu.parallel import multihost as mh
+            bsl = mh.process_slice(self.batch_size)
         losses, preds, ovf = [], [], 0
         for ib in range(nb):
-            xs = shard((roots[ib], rows[ib], labels[ib], w[ib]))
+            xs = shard(tuple(np.asarray(a[ib])[bsl]
+                             for a in (roots, rows, labels, w)))
             loss, logits, ovf_b = step(params, jax.random.fold_in(rng, ib),
                                        *xs)
             losses.append(float(loss))
@@ -1110,7 +1126,9 @@ class Trainer:
         if train and self.partition != "none":
             losses, preds, ovf = self._run_partition_epoch(
                 mode, nb, roots, rows, labels_dev, w_dev, rng)
-        elif not train and self.partition in ("feat", "edge"):
+        elif not train and (self.partition in ("feat", "edge")
+                            or (self.partition == "dp"
+                                and jax.process_count() > 1)):
             losses, preds, ovf = self._run_partition_eval(
                 mode, nb, roots, rows, labels_dev, w_dev, rng)
         elif self.chunk_batches > 0 and not train:

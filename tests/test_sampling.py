@@ -366,3 +366,91 @@ def test_pipeline_selects_hub_induction_on_powerlaw(tmp_path):
     # and one full epoch must run without overflow warnings
     stats = tr.run_epoch(0, TRAIN)
     assert np.isfinite(stats["loss"])
+
+
+def _native_available():
+    try:
+        from shadow_gnn_tpu.native import get_lib
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _native_available(), reason="native build failed")
+def test_native_push_matches_python_oracle(small_graph):
+    """The C++ push (heap frontier + dirty-tracked dense state) must be
+    EXACTLY the python reference push — same settle order, same floats —
+    in both dense and map state variants."""
+    from shadow_gnn_tpu.native import ppr_push_native
+    indptr, indices = small_graph
+    targets = np.array([0, 5, 17, 100, 250])
+    k = 16
+    n_py, s_py = ppr_mod.ppr_push_host(indptr, indices, targets, k,
+                                       alpha=0.85, epsilon=1e-5,
+                                       use_native=False)
+    import ctypes
+    from shadow_gnn_tpu.native import get_lib
+    lib = get_lib()
+    for use_dense in (1, 2):
+        out_n = np.empty((targets.size, k), np.int32)
+        out_s = np.empty((targets.size, k), np.float32)
+        ret = lib.shadow_ppr_push(
+            np.ascontiguousarray(indptr, np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)), indptr.size - 1,
+            np.ascontiguousarray(indices, np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)), indices.size,
+            np.ascontiguousarray(targets, np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)), targets.size,
+            k, ctypes.c_float(1.0 - 0.85), ctypes.c_float(1e-5), 2,
+            use_dense,
+            out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        assert ret == 0
+        for i in range(targets.size):
+            valid = out_n[i] >= 0
+            np.testing.assert_array_equal(out_n[i][valid], n_py[i],
+                                          err_msg=f"dense={use_dense} t={i}")
+            np.testing.assert_allclose(out_s[i][valid], s_py[i], rtol=2e-6,
+                                       err_msg=f"dense={use_dense} t={i}")
+    # public wrapper (auto state choice) agrees too
+    n_nat, s_nat = ppr_push_native(indptr, indices, targets, k,
+                                   1.0 - 0.85, 1e-5)
+    for i in range(targets.size):
+        np.testing.assert_array_equal(n_nat[i], n_py[i])
+
+
+def test_ppr_shard_merge_matches_direct(tmp_path, small_graph):
+    """Sharded precompute + merge produces the SAME bin cache pair as a
+    direct single-host compute+write."""
+    indptr, indices = small_graph
+    targets = np.arange(0, 300, 7, dtype=np.int64)     # 43 targets
+    k = 8
+    neighs, scores = ppr_mod.ppr_push_host(indptr, indices, targets, k,
+                                           alpha=0.85, epsilon=1e-5,
+                                           use_native=False)
+    fn_d = str(tmp_path / "direct" / "neighs.bin")
+    fs_d = str(tmp_path / "direct" / "scores.bin")
+    ppr_mod.write_ppr_cache(fn_d, fs_d, 300, targets, neighs, scores, k,
+                            0.85, 1e-5)
+    # 3 shards, computed independently, merged
+    fn_m = str(tmp_path / "merged" / "neighs.bin")
+    fs_m = str(tmp_path / "merged" / "scores.bin")
+    import os as _os
+    _os.makedirs(tmp_path / "merged", exist_ok=True)
+    n_shards = 3
+    for s in range(n_shards):
+        sel = ppr_mod.shard_targets(targets, s, n_shards)
+        nb, sb = ppr_mod.ppr_push_host(indptr, indices, sel, k,
+                                       alpha=0.85, epsilon=1e-5,
+                                       use_native=False)
+        tn, ts = ppr_mod.ppr_topk_tables(nb, sb, k)
+        ppr_mod.write_ppr_shard(ppr_mod.ppr_shard_path(fn_m, s, n_shards),
+                                sel, tn, ts, k, 0.85, 1e-5)
+    ppr_mod.merge_ppr_shards(fn_m, fs_m, 300, n_shards, k, 0.85, 1e-5)
+    with open(fn_d, "rb") as a, open(fn_m, "rb") as b:
+        assert a.read() == b.read(), "merged neighs bin != direct"
+    with open(fs_d, "rb") as a, open(fs_m, "rb") as b:
+        assert a.read() == b.read(), "merged scores bin != direct"
+    # shard partials are cleaned up after merge
+    assert not _os.path.exists(ppr_mod.ppr_shard_path(fn_m, 0, n_shards))
