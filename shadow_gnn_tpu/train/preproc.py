@@ -163,6 +163,147 @@ def smooth_signal_per_mode(trainer, signal: np.ndarray, type_norm: str,
     return out
 
 
+def smooth_signal_subgraph(trainer, signal: np.ndarray, type_norm: str,
+                           order: int, reduction: str, args: Dict,
+                           cfg_dict: Dict) -> np.ndarray:
+    """Generic NON-full preprocess-phase sampler (preproc.py:167-202):
+    run ``cfg_dict``'s sampler minibatch-wise over each mode's node
+    targets, smooth the signal WITHIN each sampled subgraph (per-block
+    normalized adjacency, add_self_edge=False like the reference's
+    minibatch branch), and write back only the target rows; nodes
+    outside every split stay zero (zero-initialized signal_new,
+    preproc.py:141).  No shipped reference config uses this path — it
+    exists for schema completeness — so it favors the exact pairwise
+    'search' induction over cap tuning.
+    """
+    import jax
+    import jax.numpy as jnp
+    from shadow_gnn_tpu.sampling.batch import SamplerConfig, default_n_pad
+    from shadow_gnn_tpu.sampling.samplers import (PPRTables,
+                                                  sample_subgraphs)
+    from shadow_gnn_tpu.sampling import ppr as ppr_mod
+    from shadow_gnn_tpu.ops.normalize import adj_norm_rw, adj_norm_sym
+
+    assert trainer.task == "node", \
+        "LINK-task preproc sampling is NODE-wise (preproc.py:173)"
+    method = cfg_dict["method"]
+    cfg = SamplerConfig(
+        method=method, n_pad=default_n_pad(cfg_dict, 1), num_targets=1,
+        depth=int(cfg_dict.get("depth", 2)),
+        budget=int(cfg_dict.get("budget", 20)),
+        k=int(cfg_dict.get("k", 200)),
+        alpha=float(cfg_dict.get("alpha", 0.85)),
+        epsilon=float(cfg_dict.get("epsilon", 1e-5)),
+        threshold=float(cfg_dict.get("threshold", 0.0)),
+        aug_feats=())
+    b = trainer.batch_size
+    f_in = signal.shape[1]
+    f_out = f_in * (1 + order) if reduction in ("cat", "concat") else f_in
+    out = np.zeros((trainer.num_nodes, f_out), np.float32)
+    sig_tab = jnp.asarray(
+        np.concatenate([signal.astype(np.float32),
+                        np.zeros((1, f_in), np.float32)]))  # pad row
+
+    def norm_block(batch):
+        adj = batch.adj
+        if type_norm == "ppr" and args.get("norm_adj", "sym") == "sym":
+            # the reference's ppr branch hardcodes self-edge
+            # augmentation for sym (APPNP's A+I, preproc.py:65-66,
+            # set-semantics: existing self edges stay 1)
+            n = adj.shape[-1]
+            eye = jnp.eye(n, dtype=adj.dtype) * batch.node_mask[..., None]
+            return adj_norm_sym(jnp.maximum(adj, eye))
+        if type_norm == "sym":
+            # add_self_edge=False in the minibatch branch (preproc.py:185)
+            return adj_norm_sym(adj)
+        return adj_norm_rw(adj)
+
+    def smooth_block(batch, sig):
+        an = norm_block(batch)
+        t_oh = jax.nn.one_hot(batch.targets[:, 0], cfg.n_pad,
+                              dtype=sig.dtype)               # [B, N]
+        if type_norm == "ppr":
+            alpha_int = 1.0 - args["alpha"]
+            h = sig
+            z = sig
+
+            def cond(c):
+                z, it, delta = c
+                return (it < args["itr_max"]) & (delta >= args["thres"])
+
+            def body(c):
+                z, it, _ = c
+                zk = (1 - alpha_int) * jnp.einsum("bij,bjf->bif", an, z) \
+                    + alpha_int * h
+                return zk, it + 1, jnp.linalg.norm(zk - z)
+
+            z, _, _ = jax.lax.while_loop(
+                cond, body, (z, jnp.int32(0), jnp.float32(np.inf)))
+            zt = jnp.einsum("bn,bnf->bf", t_oh, z)
+            nf = args.get("norm_feat", "none")
+            if nf == "l1":
+                zt = zt / jnp.clip(jnp.abs(zt).sum(1, keepdims=True), 1e-5)
+            elif nf == "max":
+                zt = zt / zt.max()
+            st = jnp.einsum("bn,bnf->bf", t_oh, sig)
+            if reduction in ("cat", "concat"):
+                return jnp.concatenate([st, zt], axis=1)
+            if reduction == "sum":
+                return st + zt
+            return zt
+        outs = [jnp.einsum("bn,bnf->bf", t_oh, sig)]
+        cur = sig
+        for _ in range(order):
+            cur = jnp.einsum("bij,bjf->bif", an, cur)
+            outs.append(jnp.einsum("bn,bnf->bf", t_oh, cur))
+        if reduction in ("cat", "concat"):
+            return jnp.concatenate(outs, axis=1)
+        if reduction == "sum":
+            return sum(outs)
+        return outs[-1]
+
+    @jax.jit
+    def step(graph_arrays, tables, sig_tab, roots, rows):
+        import dataclasses as _dc
+        indptr, indices = graph_arrays
+        g = _dc.replace(graph_meta, indptr=indptr, indices=indices)
+        batch = sample_subgraphs(cfg, g, roots, rng=jax.random.PRNGKey(0),
+                                 table_rows=rows, tables=tables)
+        sig = sig_tab[jnp.minimum(batch.nodes, trainer.num_nodes)]
+        sig = sig * batch.node_mask[..., None]
+        return smooth_block(batch, sig)
+
+    for m in (TRAIN, VALID, TEST):
+        indptr, indices = trainer._host_adj[m]
+        from shadow_gnn_tpu.data.graph import DeviceGraph
+        graph_meta = DeviceGraph.from_csr(indptr, indices)
+        graph_arrays = (graph_meta.indptr, graph_meta.indices)
+        targets = np.asarray(trainer.entity_set[m], dtype=np.int64)
+        tables = None
+        if method in ("ppr", "ppr_st"):
+            k_tab = cfg.k * (2 if method == "ppr_st" else 1)
+            nb_l, sb_l = ppr_mod.ppr_push_host(indptr, indices, targets,
+                                               k_tab, cfg.alpha, cfg.epsilon)
+            tn, ts = ppr_mod.ppr_topk_tables(nb_l, sb_l, k_tab)
+            tables = PPRTables(jnp.asarray(tn), jnp.asarray(ts))
+        n_t = targets.size
+        nb = -(-n_t // b)
+        pad = nb * b - n_t
+        roots_all = np.concatenate([targets,
+                                    np.repeat(targets[:1], pad)])
+        rows_all = np.concatenate([np.arange(n_t, dtype=np.int64),
+                                   np.zeros(pad, np.int64)])
+        for ib in range(nb):
+            sl = slice(ib * b, (ib + 1) * b)
+            sm = step(graph_arrays, tables, sig_tab,
+                      jnp.asarray(roots_all[sl, None].astype(np.int32)),
+                      jnp.asarray(rows_all[sl, None].astype(np.int32)))
+            sm = np.asarray(sm)
+            valid = b - (pad if ib == nb - 1 else 0)
+            out[roots_all[sl][:valid]] = sm[:valid]
+    return out
+
+
 def prepare_raw_label(label_np: np.ndarray, entity_set, use_label: str,
                       num_nodes: int) -> np.ndarray:
     """One-hot train(+valid) labels as input features (preproc.py:206-225)."""
@@ -196,8 +337,21 @@ def preprocess_signals(trainer) -> Tuple[np.ndarray, int, int]:
     indptr, indices = trainer._host_adj[TEST]
     feat = trainer.feat_np
 
+    preproc_cfgs = trainer.sampler_cfg_preproc.get("configs", [])
+    from shadow_gnn_tpu.train.config import decouple_ensemble
+    preproc_cfgs = decouple_ensemble(preproc_cfgs) if preproc_cfgs else []
+    assert len(preproc_cfgs) <= 1, \
+        "subgraph ensemble in preproc unsupported (preproc.py:180)"
+    subg_cfg = (preproc_cfgs[0] if preproc_cfgs
+                and preproc_cfgs[0]["method"] != "full" else None)
+
     def _smooth(signal, cfg_str):
         tn, order, red, args = decode_smoothen_config(cfg_str)
+        if subg_cfg is not None:
+            # generic preprocess-phase sampler: smooth within sampled
+            # subgraphs, write back target rows (preproc.py:167-202)
+            return smooth_signal_subgraph(trainer, signal, tn, order, red,
+                                          args, subg_cfg)
         if trainer.is_transductive:
             return smooth_signal_full(indptr, indices, signal, tn, order,
                                       red, args)

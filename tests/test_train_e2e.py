@@ -118,6 +118,58 @@ def test_training_learns(tmp_path):
     assert abs(stats_before["accuracy"] - stats_after["accuracy"]) < 1e-6
 
 
+def test_subgraph_preproc_matches_oracle(tmp_path):
+    """Non-full preprocess-phase sampler (reference preproc.py:167-202):
+    feature smoothening runs minibatch-wise WITHIN ppr-sampled
+    subgraphs and writes back only target rows.  Checked row-by-row
+    against a numpy oracle of the reference semantics."""
+    import oracle
+    from shadow_gnn_tpu.sampling import ppr as ppr_mod
+
+    cfg = {**BASE_CONFIG,
+           "architecture": {**BASE_CONFIG["architecture"],
+                            "feature_smoothen": "sym-2-concat"},
+           "hyperparameter": {**BASE_CONFIG["hyperparameter"], "end": 1},
+           "sampler": [
+               {"method": "ppr", "phase": "preprocess", "k": [12],
+                "epsilon": [1e-6]},
+               {"method": "ppr", "phase": "train", "k": [16],
+                "epsilon": [1e-5]},
+           ]}
+    g = make_synthetic_dataset(num_nodes=600, avg_deg=8, num_feat=16,
+                               num_classes=5, seed=3)
+    feat_raw = np.asarray(g.feat_full, np.float32).copy()
+    parsed = parse_config(cfg)
+    metrics = Metrics("toy", False, "accuracy", 1)
+    logger = Logger(metrics, str(tmp_path / "log"), no_log=True)
+    tr = Trainer("toy", str(tmp_path), g, parsed, metrics, logger,
+                 seed=0, use_device_ppr=False)
+    assert tr.dim_feat_smooth == 3 * 16          # sym-2-concat widens 3x
+    indptr, indices = g.indptr_full, g.indices_full
+    rng = np.random.default_rng(0)
+    for mode in (TRAIN, VALID, TEST):
+        targets = np.asarray(tr.entity_set[mode])
+        pick = rng.choice(targets, 5, replace=False)
+        nb_l, sb_l = ppr_mod.ppr_push_host(indptr, indices, pick, 12,
+                                           alpha=0.85, epsilon=1e-6,
+                                           use_native=False)
+        for i, t in enumerate(pick):
+            touched = oracle.ppr_scope(nb_l[i], sb_l[i], int(t), 12, 0.0)
+            nodes, adj, tl = oracle.induced_subgraph(
+                indptr, indices, list(touched), [int(t)])
+            deg = np.clip(adj.sum(1), 1.0, None)
+            an = adj / np.sqrt(deg)[:, None] / np.sqrt(deg)[None, :]
+            x0 = feat_raw[nodes]
+            x1 = an @ x0
+            x2 = an @ x1
+            want = np.concatenate([x0[tl[0]], x1[tl[0]], x2[tl[0]]])
+            np.testing.assert_allclose(tr.feat_np[t], want, rtol=1e-4,
+                                       atol=1e-5)
+    # and the full pipeline trains on the widened features
+    stats = tr.run_epoch(0, TRAIN)
+    assert np.isfinite(stats["loss"])
+
+
 def test_csv_reference_protocol(tmp_path):
     """epoch/final CSVs follow the reference's file protocol
     (logging_base.py:398-409,436-454): mode-prefixed headers, VALID/TEST
