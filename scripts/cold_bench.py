@@ -132,6 +132,9 @@ def main():
     ap.add_argument("--preset", default="collab_lead",
                     choices=sorted(PRESETS))
     ap.add_argument("--decompose", action="store_true")
+    ap.add_argument("--trace", action="store_true",
+                    help="jax.profiler trace of one epoch; top ops by "
+                         "self time printed to stderr")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -172,6 +175,35 @@ def main():
         return time.time() - t1
 
     t_full = min(run_full() for _ in range(3))
+    if args.trace:
+        import gzip
+        import glob as _glob
+        tdir = "/tmp/cold_trace"
+        os.system(f"rm -rf {tdir}")
+        jax.profiler.start_trace(tdir)
+        run_full()
+        jax.profiler.stop_trace()
+        paths = _glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"),
+                           recursive=True)
+        with gzip.open(sorted(paths)[-1], "rt") as f:
+            events = json.load(f).get("traceEvents", [])
+        by_op = {}
+        for ev in events:
+            if ev.get("ph") != "X" or "dur" not in ev:
+                continue
+            a = ev.get("args") or {}
+            if not isinstance(a, dict) or ("long_name" not in a
+                                           and "hlo_op" not in a):
+                continue
+            nm = ev.get("name", "")
+            if nm.startswith("while"):       # the scan wrapper double-counts
+                continue
+            long = a.get("long_name", a.get("hlo_op", nm))[:140]
+            k = (nm, long)
+            by_op[k] = by_op.get(k, 0.0) + ev["dur"]
+        for (nm, long), us in sorted(by_op.items(), key=lambda kv: -kv[1])[:18]:
+            print(f"[trace] {us / 1e3:9.2f} ms  {nm:<28s} {long}",
+                  file=sys.stderr)
     res = {
         "preset": args.preset,
         "platform": jax.devices()[0].platform,

@@ -642,7 +642,7 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
     for cfg in cfgs:
         fc = fetch_cap
         if fc is None:
-            fc = cfg.deg_cap if (cfg.induction == "hub"
+            fc = cfg.deg_cap if (cfg.induction in ("hub", "rows")
                                  and cfg.deg_cap > 0) else g.max_deg
         caps.append(max(1, min(fc, g.max_deg)))
     caps = tuple(caps)

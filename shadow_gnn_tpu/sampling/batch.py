@@ -79,12 +79,20 @@ class SamplerConfig:
     # induction flags
     add_self_edge: bool = False
     include_target_conn: bool = False
-    # induction strategy: 'cand' (candidate-edge gather, work ~ sum(deg),
-    # needs cand_cap > 0), 'hub' (degree-capped candidates + static hub
-    # table pairwise search — bounded memory on power-law graphs,
-    # undirected only), or 'search' (pairwise binary search, exact for
-    # any cap).  cand_cap is the static per-subgraph candidate budget;
-    # deg_cap/hub_slots parameterize the 'hub' strategy.
+    # induction strategy:
+    #  'rows'   — per-member contiguous neighbor-row slice gather
+    #             ([B, N, deg_cap]) + fused compare-reduce membership;
+    #             the default (TPU element gathers measured ~100ns/elt
+    #             made the candidate strategies 50% of cold epochs).
+    #             deg_cap must cover every non-hub member's degree;
+    #             hub_slots > 0 routes over-degree members through the
+    #             static hub table (undirected only).
+    #  'cand'   — candidate-edge element gather, work ~ sum(deg),
+    #             needs cand_cap > 0 (directed hub-heavy fallback)
+    #  'hub'    — degree-capped candidates + hub table (round-2 path)
+    #  'search' — pairwise binary search, exact for any cap
+    # cand_cap is the static per-subgraph candidate budget of
+    # cand/hub; deg_cap/hub_slots parameterize 'rows' and 'hub'.
     induction: str = "search"
     cand_cap: int = 0
     deg_cap: int = 0

@@ -186,41 +186,130 @@ def membership_matrix_hub(graph: DeviceGraph, nodes: jax.Array,
     adj = adj | jnp.swapaxes(adj, -1, -2)
 
     if hub_slots > 0:
-        h = hub_slots
-        order = jnp.argsort(-deg_full, axis=-1)[:, :h]          # [B, H]
-        hdeg = jnp.take_along_axis(deg_full, order, axis=-1)
-        hub_valid = hdeg > deg_cap
-        n_hubs = (deg_full > deg_cap).sum(-1)
-        overflow = overflow + jnp.maximum(
-            n_hubs - h, 0).sum().astype(jnp.int32)
-        hlo = jnp.take_along_axis(lo, order, axis=-1)
-        hnodes = jnp.take_along_axis(nodes, order, axis=-1)
-        q = hnodes[:, None, :]                                  # [B, 1, H]
-        lo2 = jnp.broadcast_to(hlo[:, :, None], (b, h, h))
-        hi2 = jnp.broadcast_to((hlo + hdeg)[:, :, None], (b, h, h))
-        hi_end = hi2
-
-        def step(_, carry):
-            lo3, hi3 = carry
-            mid = (lo3 + hi3) // 2
-            v = graph.indices[jnp.clip(mid, 0, graph.num_edges - 1)]
-            ge = v >= q
-            return jnp.where(ge, lo3, mid + 1), jnp.where(ge, mid, hi3)
-
-        lo2, hi2 = jax.lax.fori_loop(0, graph.search_steps, step, (lo2, hi2))
-        found = (lo2 < hi_end) & (
-            graph.indices[jnp.clip(lo2, 0, graph.num_edges - 1)] == q)
-        s = found & hub_valid[:, :, None] & hub_valid[:, None, :]
-        poh = ((order[:, :, None] == ar)
-               & hub_valid[..., None]).astype(jnp.bfloat16)     # [B, H, N]
-        tmp = jnp.einsum("bhg,bgj->bhj", s.astype(jnp.bfloat16), poh,
-                         preferred_element_type=jnp.float32)
-        adj_h = jnp.einsum("bhi,bhj->bij", poh, tmp,
-                           preferred_element_type=jnp.float32) > 0
+        adj_h, over_h = _hub_pairs(graph, nodes, lo, deg_full, deg_cap,
+                                   hub_slots)
         adj = adj | adj_h
+        overflow = overflow + over_h
 
     adj = adj.astype(jnp.float32)
     return adj * row_valid[:, :, None], overflow
+
+
+def _hub_pairs(graph: DeviceGraph, nodes: jax.Array, lo: jax.Array,
+               deg_full: jax.Array, deg_cap: int, hub_slots: int) -> tuple:
+    """Hub-tier membership: the top-``hub_slots`` members by degree form
+    a static table; hub x hub pairs run the pairwise CSR binary search
+    ([B, H, H] queries).  Returns (adj_hub [B,N,N] bool, overflow)."""
+    b, n = nodes.shape
+    h = hub_slots
+    ar = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.argsort(-deg_full, axis=-1)[:, :h]              # [B, H]
+    hdeg = jnp.take_along_axis(deg_full, order, axis=-1)
+    hub_valid = hdeg > deg_cap
+    n_hubs = (deg_full > deg_cap).sum(-1)
+    overflow = jnp.maximum(n_hubs - h, 0).sum().astype(jnp.int32)
+    hlo = jnp.take_along_axis(lo, order, axis=-1)
+    hnodes = jnp.take_along_axis(nodes, order, axis=-1)
+    q = hnodes[:, None, :]                                      # [B, 1, H]
+    lo2 = jnp.broadcast_to(hlo[:, :, None], (b, h, h))
+    hi2 = jnp.broadcast_to((hlo + hdeg)[:, :, None], (b, h, h))
+    hi_end = hi2
+
+    def step(_, carry):
+        lo3, hi3 = carry
+        mid = (lo3 + hi3) // 2
+        v = graph.indices[jnp.clip(mid, 0, graph.num_edges - 1)]
+        ge = v >= q
+        return jnp.where(ge, lo3, mid + 1), jnp.where(ge, mid, hi3)
+
+    lo2, hi2 = jax.lax.fori_loop(0, graph.search_steps, step, (lo2, hi2))
+    found = (lo2 < hi_end) & (
+        graph.indices[jnp.clip(lo2, 0, graph.num_edges - 1)] == q)
+    s = found & hub_valid[:, :, None] & hub_valid[:, None, :]
+    poh = ((order[:, :, None] == ar)
+           & hub_valid[..., None]).astype(jnp.bfloat16)         # [B, H, N]
+    tmp = jnp.einsum("bhg,bgj->bhj", s.astype(jnp.bfloat16), poh,
+                     preferred_element_type=jnp.float32)
+    adj_h = jnp.einsum("bhi,bhj->bij", poh, tmp,
+                       preferred_element_type=jnp.float32) > 0
+    return adj_h, overflow
+
+
+def _row_slices(table: jax.Array, starts: jax.Array, width: int
+                ) -> jax.Array:
+    """Contiguous ``width``-wide slices ``table[starts[i] : starts[i]+
+    width]`` as ONE wide gather — [B, N] starts -> [B, N, width].
+
+    TPU element gathers cost ~100 ns/element (the round-2 candidate
+    machinery spent half the collab epoch in four of them); a slice
+    gather reads whole cache lines.  Starts are pre-clamped to
+    ``len(table) - width`` by the CALLER (which must mask the shifted
+    positions) so the CLIP gather mode never distorts silently."""
+    flat = starts.reshape(-1, 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    w = min(width, table.shape[0])
+    out = jax.lax.gather(table, flat, dn, slice_sizes=(w,),
+                         mode=jax.lax.GatherScatterMode.CLIP)
+    if w < width:
+        out = jnp.pad(out, ((0, 0), (0, width - w)),
+                      constant_values=jnp.iinfo(out.dtype).max)
+    return out.reshape(starts.shape + (width,))
+
+
+def membership_matrix_rows(graph: DeviceGraph, nodes: jax.Array,
+                           deg_cap: int, hub_slots: int) -> tuple:
+    """Row-slice induction: adj[b,i,j] = 1 iff nodes[b,j] appears in the
+    CSR row of nodes[b,i].
+
+    Each member's neighbor list is fetched as ONE contiguous
+    ``deg_cap``-wide slice ([B, N, D] — cache-line reads instead of the
+    per-candidate element gathers of :func:`membership_matrix_cand`,
+    which measured ~100 ns/element on TPU), then membership is a single
+    fused broadcast-compare + or-reduce against the sorted node table —
+    no searchsorted, no one-hot einsums, and the [B, N, N, D] compare
+    never materializes (XLA fuses the producer into the reduce).
+
+    ``deg_cap`` must cover the degree of every non-hub member for
+    exactness; callers size it at the max (scope) degree when
+    ``hub_slots == 0``.  With ``hub_slots > 0`` members above
+    ``deg_cap`` route through the static hub table (undirected graphs
+    only: small->hub edges are found from the small side and
+    mirrored, like :func:`membership_matrix_hub`).
+
+    Returns (adj [B,N,N] f32, overflow [] int32): overflow counts
+    over-degree members that had no hub slot (structurally zero when
+    the caller sizes exactly).
+    """
+    n_id = graph.num_nodes
+    b, n = nodes.shape
+    u = jnp.minimum(nodes, n_id - 1)
+    row_valid = nodes < n_id
+    lo = jnp.where(row_valid, graph.indptr[u], 0)
+    deg_full = jnp.where(row_valid, graph.indptr[u + 1] - lo, 0)
+    small = deg_full <= deg_cap
+    w = min(deg_cap, graph.num_edges)
+    start_c = jnp.minimum(lo, graph.num_edges - w)       # pre-clamp
+    shift = (lo - start_c).astype(jnp.int32)             # [B, N]
+    nbr = _row_slices(graph.indices, start_c, deg_cap)   # [B, N, D]
+    d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, deg_cap), 2)
+    take = ((d >= shift[..., None])
+            & (d < (shift + jnp.minimum(deg_full, deg_cap).astype(
+                jnp.int32))[..., None])
+            & small[..., None] & row_valid[..., None])
+    nbr = jnp.where(take, nbr, n_id)                     # pad -> sentinel
+    # fused membership: dst axis broadcast, or-reduce over the minor D
+    # axis; sentinel never matches (nodes < n_id after masking below)
+    dst = jnp.where(nodes < n_id, nodes, n_id + 1)
+    adj = jnp.any(nbr[:, :, None, :] == dst[:, None, :, None], axis=-1)
+    if hub_slots > 0:
+        adj = adj | jnp.swapaxes(adj, -1, -2)            # mirror small->hub
+        adj_h, overflow = _hub_pairs(graph, nodes, lo, deg_full, deg_cap,
+                                     hub_slots)
+        adj = adj | adj_h
+    else:
+        overflow = (deg_full > deg_cap).sum().astype(jnp.int32)
+    return adj.astype(jnp.float32) * row_valid[:, :, None], overflow
 
 
 def bfs_hops(adj: jax.Array, start_local: jax.Array, node_mask: jax.Array
@@ -278,7 +367,10 @@ def induce(graph: DeviceGraph, nodes: jax.Array, ppr_vals: jax.Array,
     node_mask = nodes < n_id
     size = node_mask.sum(-1).astype(jnp.int32)
 
-    if cfg.induction == "hub" and cfg.cand_cap > 0:
+    if cfg.induction == "rows" and cfg.deg_cap > 0:
+        adj, overflow = membership_matrix_rows(graph, nodes, cfg.deg_cap,
+                                               cfg.hub_slots)
+    elif cfg.induction == "hub" and cfg.cand_cap > 0:
         adj, overflow = membership_matrix_hub(graph, nodes, cfg.cand_cap,
                                               cfg.deg_cap, cfg.hub_slots)
     elif cfg.induction == "cand" and cfg.cand_cap > 0:

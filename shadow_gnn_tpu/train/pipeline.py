@@ -330,26 +330,26 @@ class Trainer:
                     method_m = "ppr"
                 induction, cap, dcap, hslots = "search", 0, 0, 0
                 if method == "khop":
-                    # candidate-edge induction with an estimated cap:
-                    # E[deg of a sampled node] is size-biased; x3 slack,
-                    # runtime overflow is monitored per epoch
                     deg = np.diff(self._host_adj[m][0]).astype(np.float64)
-                    biased = float((deg ** 2).sum() / max(deg.sum(), 1))
-                    est = min(float(deg.max()), 3.0 * biased + 16.0)
+                    max_deg = float(deg.max()) if deg.size else 1.0
                     mean_deg = float(deg.mean()) if deg.size else 1.0
-                    if self.undirected and float(deg.max()) > 8 * mean_deg:
-                        # power-law graph: cap per-member enumeration and
-                        # route hub members through the pairwise search
-                        # table; overflow is monitored per epoch
-                        dcap = int(max(64.0, 8.0 * mean_deg))
-                        biased_c = float(
-                            ((deg ** 2) * (deg <= dcap)).sum()
-                            / max(deg.sum(), 1))
-                        est_c = min(float(dcap), 3.0 * biased_c + 16.0)
-                        induction = "hub"
-                        cap = bucket_cap(int(n_pad * est_c))
+                    if self.undirected and max_deg > 8 * mean_deg:
+                        # power-law graph: cap the per-member row width
+                        # and route hub members through the pairwise
+                        # search table; overflow is monitored per epoch
+                        induction = "rows"
+                        dcap = bucket_cap(int(max(64.0, 8.0 * mean_deg)))
                         hslots = max(8, n_pad // 8)
+                    elif max_deg <= 4096:
+                        # exact row-slice induction, any directedness
+                        induction, dcap = "rows", bucket_cap(int(max_deg))
                     else:
+                        # DIRECTED hub-heavy graph (no shipped dataset):
+                        # candidate-edge enumeration with an estimated
+                        # cap — E[deg of a sampled node] is size-biased;
+                        # x3 slack, runtime overflow monitored per epoch
+                        biased = float((deg ** 2).sum() / max(deg.sum(), 1))
+                        est = min(max_deg, 3.0 * biased + 16.0)
                         induction, cap = "cand", bucket_cap(int(n_pad * est))
                 cfg_mode[m] = SamplerConfig(method=method_m, induction=induction,
                                             cand_cap=cap, deg_cap=dcap,
@@ -412,32 +412,41 @@ class Trainer:
             scope_deg = (deg[np.clip(tab_n, 0, self.num_nodes - 1)]
                          * (tab_n >= 0))                       # [T, k_tab]
             root_deg = deg[targets]
-            max_deg = int(deg.max()) if deg.size else 1
+            scope_max = int(max(scope_deg.max() if scope_deg.size else 1,
+                                root_deg.max() if root_deg.size else 1, 1))
             choices = sorted({d for d in (64, 128, 256, 512, 1024, 2048)
-                              if d < max_deg} | {max_deg})
+                              if d < scope_max} | {scope_max})
             best = None
             for dc in choices:
-                e_rows = ((scope_deg * (scope_deg <= dc)).sum(1)
-                          + root_deg * (root_deg <= dc))
                 h_rows = (scope_deg > dc).sum(1) + (root_deg > dc)
-                e_max, h_max = int(e_rows.max()), int(h_rows.max())
-                # cost model: candidate one-hots cost ~E (x n_pad bytes);
-                # hub pairs cost ~H^2 binary searches (x ~24 gather steps)
-                cost = e_max + 24 * h_max * h_max
+                h_max = int(h_rows.max())
+                # cost model (per subgraph, ns-ish units): the fused
+                # row compare is n_pad^2 x deg_cap VPU compares
+                # (~2.4e12/s); each hub pair costs a ~24-step binary
+                # search of ~100ns element gathers
+                cost = cfg.n_pad * cfg.n_pad * dc / 2400 \
+                    + 2400 * (h_max * self.num_targets) ** 2
                 if best is None or cost < best[0]:
-                    best = (cost, dc, e_max, h_max)
-            _, dc, e_max, h_max = best
+                    best = (cost, dc, h_max)
+            _, dc, h_max = best
             import dataclasses as _dc_mod
-            if h_max > 0 and self.undirected:
-                cfg_fields = dict(
-                    induction="hub",
-                    cand_cap=bucket_cap(e_max * self.num_targets + 8),
-                    deg_cap=dc,
-                    hub_slots=min(h_max * self.num_targets + 2, cfg.n_pad))
-            else:
+            if h_max > 0 and not self.undirected and scope_max > 4096:
+                # DIRECTED hub-heavy scope: no hub tier possible —
+                # candidate enumeration, exact-sized (no shipped
+                # dataset hits this; all are undirected)
                 e_rows = scope_deg.sum(1) + root_deg
                 cap = int(e_rows.max()) * self.num_targets
-                cfg_fields = dict(induction="cand", cand_cap=bucket_cap(cap + 8))
+                cfg_fields = dict(induction="cand",
+                                  cand_cap=bucket_cap(cap + 8))
+            elif h_max > 0 and self.undirected:
+                cfg_fields = dict(
+                    induction="rows", deg_cap=bucket_cap(dc),
+                    hub_slots=min(h_max * self.num_targets + 2, cfg.n_pad))
+            else:
+                # exact row width: covers every scope member's degree
+                cfg_fields = dict(induction="rows",
+                                  deg_cap=bucket_cap(scope_max),
+                                  hub_slots=0)
             br["cfg"][mode] = _dc_mod.replace(br["cfg"][mode], **cfg_fields)
             tab = PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s))
             memo[memo_key] = (tab, cfg_fields)

@@ -324,19 +324,79 @@ def test_hub_induction_matches_search():
     assert int(ovf2) > 0
 
 
-def test_pipeline_selects_hub_induction_on_powerlaw(tmp_path):
-    """Trainer sizes PPR induction exactly; on a hubby graph it must pick
-    the bounded 'hub' strategy with a small cand_cap."""
+def test_rows_induction_matches_search():
+    """'rows' strategy (contiguous row slices + fused compare-reduce)
+    must agree with the exact pairwise search — without and with the
+    hub tier, including CSR rows at the very END of indices (where the
+    pre-clamped slice start shifts the valid positions)."""
+    from shadow_gnn_tpu.sampling.induction import membership_matrix_rows
+    indptr, indices = make_random_graph(800, 12.0, seed=7, power_law=True)
+    deg = np.diff(indptr)
+    g = DeviceGraph.from_csr(indptr, indices)
+    rng = np.random.default_rng(1)
+    nodes = np.full((4, 48), 800, np.int32)
+    for b in range(4):
+        p = (deg + 1.0) / (deg + 1.0).sum()
+        picks = np.sort(rng.choice(800, size=40, replace=False, p=p))
+        nodes[b, :picks.size] = picks
+    # force coverage of the clamped-slice edge case: the node owning the
+    # LAST CSR row (indptr[v+1] == num_edges)
+    last = int(np.max(np.where(np.diff(indptr) > 0)[0]))
+    row0 = np.unique(np.concatenate([nodes[0, :39], [last]]))
+    nodes[0] = 800
+    nodes[0, :row0.size] = row0
+    nodes.sort(axis=1)
+    nj = jnp.asarray(nodes)
+    ref = np.asarray(membership_matrix(g, nj))
+    # exact mode: deg_cap covers every member degree, no hub tier
+    ndeg = deg[np.minimum(nodes, 799)] * (nodes < 800)
+    adj, ovf = membership_matrix_rows(g, nj, int(ndeg.max()), 0)
+    assert int(ovf) == 0
+    np.testing.assert_array_equal(ref, np.asarray(adj))
+    # hub-tier mode: capped rows + hub pairwise table
+    deg_cap = 16
+    h_max = int((ndeg > deg_cap).sum(1).max())
+    assert h_max >= 2, "test graph must contain hub members"
+    adj2, ovf2 = membership_matrix_rows(g, nj, deg_cap, h_max + 1)
+    assert int(ovf2) == 0
+    np.testing.assert_array_equal(ref, np.asarray(adj2))
+    # under-sized hub table must count the dropped hubs
+    _, ovf3 = membership_matrix_rows(g, nj, deg_cap, max(1, h_max - 2))
+    assert int(ovf3) > 0
+    # under-sized deg_cap with no hub tier must flag, not silently drop
+    _, ovf4 = membership_matrix_rows(g, nj, deg_cap, 0)
+    assert int(ovf4) > 0
+
+
+def test_pipeline_selects_bounded_induction_on_powerlaw(tmp_path):
+    """Trainer sizes PPR induction exactly; when scopes contain a mega-
+    hub it must pick the bounded rows+hub strategy (a row width far
+    below the hub degree) instead of hub-degree-wide exact rows — the
+    round-1 buffer-blowup cliff."""
     from shadow_gnn_tpu.data import make_synthetic_dataset
     from shadow_gnn_tpu.train.config import parse_config
     from shadow_gnn_tpu.train.pipeline import Trainer
     from shadow_gnn_tpu.train.logger import Logger
     from shadow_gnn_tpu.train.metrics import Metrics
     from shadow_gnn_tpu import TRAIN
-    g = make_synthetic_dataset(num_nodes=3000, avg_deg=10, seed=5,
-                               power_law=True)
+    g = make_synthetic_dataset(num_nodes=3000, avg_deg=10, seed=5)
+    # graft a mega-hub: node 0 <-> everything (deg ~3000, ER rest ~10)
+    n = 3000
+    src = np.repeat(np.arange(n), np.diff(g.indptr_full))
+    dst = g.indices_full
+    extra_s = np.concatenate([np.zeros(n - 1, np.int64),
+                              np.arange(1, n, dtype=np.int64)])
+    extra_d = np.concatenate([np.arange(1, n, dtype=np.int64),
+                              np.zeros(n - 1, np.int64)])
+    key = np.unique(np.concatenate([src * n + dst,
+                                    extra_s * n + extra_d]))
+    src_u, dst_u = (key // n).astype(np.int64), (key % n).astype(np.int32)
+    g.indptr_full = np.concatenate(
+        [[0], np.cumsum(np.bincount(src_u, minlength=n))]).astype(np.int64)
+    g.indices_full = dst_u
     deg = np.diff(g.indptr_full)
-    assert deg.max() > 20 * deg.mean(), deg.max()
+    assert deg.max() >= n - 1
+    g.node_set[TRAIN] = g.node_set[TRAIN][:256]
     cfgd = {
         "data": {"to_undirected": False, "transductive": True},
         "architecture": {"aggr": "sage", "num_layers": 2, "dim": 16,
@@ -344,7 +404,7 @@ def test_pipeline_selects_hub_induction_on_powerlaw(tmp_path):
                          "act": "relu", "loss": "softmax"},
         "hyperparameter": {"lr": 0.01, "dropout": 0.0, "batch_size": 32,
                            "end": 1},
-        "sampler": [{"method": "ppr", "phase": "train", "k": [32],
+        "sampler": [{"method": "ppr", "phase": "train", "k": [150],
                      "epsilon": [1e-4]}],
     }
     parsed = parse_config(cfgd)
@@ -355,14 +415,10 @@ def test_pipeline_selects_hub_induction_on_powerlaw(tmp_path):
     assert tr.undirected
     tr._ensure_tables(TRAIN)
     cfg = tr.branches[0]["cfg"][TRAIN]
-    assert cfg.induction == "hub", cfg
+    assert cfg.induction == "rows", cfg
     assert cfg.hub_slots > 0
-    # uncapped sizing for comparison: must be much larger
-    tab = tr.tables[TRAIN][0]
-    tn = np.asarray(tab.neighs)
-    uncapped = int((deg[np.clip(tn, 0, 2999)] * (tn >= 0)).sum(1).max()
-                   + deg.max())
-    assert uncapped > 1.5 * cfg.cand_cap, (uncapped, cfg.cand_cap)
+    # the row width must be bounded well below the hub degree
+    assert cfg.deg_cap < deg.max() / 2, (cfg.deg_cap, deg.max())
     # and one full epoch must run without overflow warnings
     stats = tr.run_epoch(0, TRAIN)
     assert np.isfinite(stats["loss"])
