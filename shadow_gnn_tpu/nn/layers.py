@@ -45,11 +45,14 @@ def _fused_attention(att_self, att_neigh, values, adj_norm, adj_struct):
             in ("bfloat16", "tensorfloat32")
             or values.dtype == jnp.bfloat16)
     vals = values if bf16 else values.astype(jnp.float32)
+    # under the bf16 precision trade the [N, N] exp/mask score chain
+    # also runs bf16 (f32 row-sum denominator) — at papers100M shapes
+    # the dots are already fast and the VPU score chain is the cap
     return gat_attention(
         jnp.transpose(att_self, (0, 2, 1)).astype(jnp.float32),
         jnp.transpose(att_neigh, (0, 2, 1)).astype(jnp.float32),
         vals, adj_norm.astype(jnp.float32), adj_struct.astype(jnp.float32),
-        bf16)
+        bf16, bf16)
 
 
 def torch_linear_init(key, shape, dtype=jnp.float32):

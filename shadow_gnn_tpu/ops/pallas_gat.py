@@ -8,8 +8,12 @@ traffic (BENCH.md: 2.7-5.8% MFU, top trace ops are elementwise
 fusions over the score chains).
 
 This kernel exploits the shaDow property that subgraph blocks are
-SMALL (N <= ~512): one (batch, head) attention problem fits entirely
-in VMEM.  Per grid step it computes
+SMALL (N <= ~512): one batch element's attention problem — ALL heads —
+fits entirely in VMEM.  The grid is head-blocked (one step per batch
+element, heads unrolled inside): the adjacency blocks are fetched and
+masked once for all H heads, the per-head dots queue back-to-back on
+the MXU, and there are H× fewer grid steps than the round-2 (batch,
+head) grid.  Per head it computes
 
     S[i,j]  = att_self[i] + att_neigh[j]            (scores)
     S_m     = where(adj_struct > 0, S, -inf)        (structural mask)
@@ -17,11 +21,9 @@ in VMEM.  Per grid step it computes
     out[i]  = (e @ v)[i] / clip(sum_j e[i,j], 1e-10)
 
 with every [N, N] intermediate living in registers/VMEM — only the
-adjacency blocks (fetched ONCE per batch element: the head axis is the
-fastest grid dimension and their index map is head-invariant, so the
-Pallas pipeline skips the re-copy), the per-head value block and the
-output round-trip HBM.  Score-tensor HBM traffic drops from
-O(B*N*N*H) x several passes to zero.
+adjacency blocks, the value block and the output round-trip HBM.
+Score-tensor HBM traffic drops from O(B*N*N*H) x several passes to
+zero.
 
 Semantics are bit-compatible with the dense chain in
 ``nn/layers.py:GATConv.__call__`` (reference shaDow/layers.py:539-645):
@@ -30,8 +32,18 @@ clip, same post-aggregation division.  ``GATScatterConv``
 (layers.py:648-744 semantics: edge score depends only on the source)
 reuses the kernel with ``att_self = 0``.
 
+Precision levels (both opt-in, default exact f32):
+  bf16        — MXU dots in single-pass bf16 with f32 accumulation
+                (the ``--matmul_precision bfloat16`` trade)
+  bf16_scores — additionally run the exp / mask-multiply score chain in
+                bf16 with an f32 row-sum denominator.  Halves the VPU
+                and VMEM cost of the [N, N] chain, which dominates at
+                papers100M shapes where the dots are already fast;
+                max relative error vs the f32 chain is bounded by bf16
+                rounding of exp in [0, 1] (~0.4%).  Requires bf16.
+
 Backward: custom VJP, flash-attention style — recompute e from the
-saved inputs (two [N,N]x[N,dh] MXU dots per grid step):
+saved inputs (two [N,N]x[N,dh] MXU dots per head):
 
     de[i,j]     = (g[i].v[j] - g[i].out[i]) / D[i]
     ds          = e * de          (rowsum(ds) == 0, so the gradient
@@ -52,53 +64,68 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _scores(a_s, a_n, adjs, adjn):
+def _scores(a_s, a_n, adjs, adjn, bf16_scores):
     """Shared fwd/bwd score math for one (batch, head) block.
 
     a_s, a_n: [1, N] f32;  adjs, adjn: [N, N] f32.
-    Returns (e [N, N], denom [N, 1])."""
+    Returns (e [N, N] (bf16 when bf16_scores), denom [N, 1] f32)."""
     s = jnp.transpose(a_s) + a_n                       # [N, 1] + [1, N]
     s_m = jnp.where(adjs > 0.0, s, -jnp.inf)
     rm = jnp.max(s_m, axis=1, keepdims=True)           # [N, 1]
     rm = jnp.where(jnp.isfinite(rm), rm, 0.0)
-    e = jnp.exp(s_m - rm) * adjn                       # exp(-inf) = 0
-    dn = jnp.clip(jnp.sum(e, axis=1, keepdims=True), 1e-10, None)
-    return e, dn
+    if bf16_scores:
+        x = (s_m - rm).astype(jnp.bfloat16)
+        e = jnp.exp(x) * adjn.astype(jnp.bfloat16)     # exp(-inf) = 0
+        dn = jnp.sum(e.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        e = jnp.exp(s_m - rm) * adjn
+        dn = jnp.sum(e, axis=1, keepdims=True)
+    return e, jnp.clip(dn, 1e-10, None)
 
 
 def _fwd_kernel(a_s_ref, a_n_ref, v_ref, adjn_ref, adjs_ref, out_ref, *,
-                bf16):
-    e, dn = _scores(a_s_ref[0, 0], a_n_ref[0, 0], adjs_ref[0], adjn_ref[0])
-    v = v_ref[0, 0]
-    if bf16:
-        e, v = e.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
-    out = jnp.dot(e, v, preferred_element_type=jnp.float32)
-    out_ref[0, 0] = out / dn
+                bf16, bf16_scores, nh):
+    adjn = adjn_ref[0]
+    adjs = adjs_ref[0]
+    for j in range(nh):
+        e, dn = _scores(a_s_ref[0, j], a_n_ref[0, j], adjs, adjn,
+                        bf16_scores)
+        v = v_ref[0, j]
+        if bf16:
+            v = v.astype(jnp.bfloat16)
+            if e.dtype != jnp.bfloat16:
+                e = e.astype(jnp.bfloat16)
+        out = jnp.dot(e, v, preferred_element_type=jnp.float32)
+        out_ref[0, j] = out / dn
 
 
 def _bwd_kernel(a_s_ref, a_n_ref, v_ref, adjn_ref, adjs_ref, out_ref, g_ref,
-                das_ref, dan_ref, dv_ref, *, bf16):
-    e, dn = _scores(a_s_ref[0, 0], a_n_ref[0, 0], adjs_ref[0], adjn_ref[0])
-    p = e / dn                                         # [N, N]
-    v = v_ref[0, 0]
-    g = g_ref[0, 0]
-    o = out_ref[0, 0]
-    if bf16:
-        pd, gd, vd = (p.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
-                      v.astype(jnp.bfloat16))
-    else:
-        pd, gd, vd = p, g, v
-    # dv[j] = sum_i P[i,j] g[i]  — contract dim 0 (P^T @ g)
-    dv = jax.lax.dot_general(pd, gd, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    # gv[i,j] = g[i] . v[j]  — contract the feature dims
-    gv = jax.lax.dot_general(gd, vd, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    r = jnp.sum(g * o, axis=1, keepdims=True)          # [N, 1]
-    ds = p * (gv - r)                                  # [N, N]
-    das_ref[0, 0] = jnp.transpose(jnp.sum(ds, axis=1, keepdims=True))
-    dan_ref[0, 0] = jnp.sum(ds, axis=0, keepdims=True)
-    dv_ref[0, 0] = dv
+                das_ref, dan_ref, dv_ref, *, bf16, bf16_scores, nh):
+    adjn = adjn_ref[0]
+    adjs = adjs_ref[0]
+    for j in range(nh):
+        e, dn = _scores(a_s_ref[0, j], a_n_ref[0, j], adjs, adjn,
+                        bf16_scores)
+        p = e.astype(jnp.float32) / dn                 # [N, N]
+        v = v_ref[0, j]
+        g = g_ref[0, j]
+        o = out_ref[0, j]
+        if bf16:
+            pd, gd, vd = (p.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16))
+        else:
+            pd, gd, vd = p, g, v
+        # dv[j] = sum_i P[i,j] g[i]  — contract dim 0 (P^T @ g)
+        dv = jax.lax.dot_general(pd, gd, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # gv[i,j] = g[i] . v[j]  — contract the feature dims
+        gv = jax.lax.dot_general(gd, vd, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        r = jnp.sum(g * o, axis=1, keepdims=True)      # [N, 1]
+        ds = p * (gv - r)                              # [N, N]
+        das_ref[0, j] = jnp.transpose(jnp.sum(ds, axis=1, keepdims=True))
+        dan_ref[0, j] = jnp.sum(ds, axis=0, keepdims=True)
+        dv_ref[0, j] = dv
 
 
 def _specs(b, h, n, dh):
@@ -106,17 +133,20 @@ def _specs(b, h, n, dh):
     # by (8, 128) or equal to the array dims — hence the explicit
     # singleton axis on the att arrays ([B, H, 1, N]) and the
     # head-major value layout ([B, H, N, dh]): all blocks then cover
-    # their trailing dims exactly.
-    att = pl.BlockSpec((1, 1, 1, n), lambda i, j: (i, j, 0, 0))
-    val = pl.BlockSpec((1, 1, n, dh), lambda i, j: (i, j, 0, 0))
-    adj = pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0))
+    # their trailing dims exactly.  One grid step per BATCH element;
+    # heads ride along inside the block (fetched once, unrolled in the
+    # kernel).
+    att = pl.BlockSpec((1, h, 1, n), lambda i: (i, 0, 0, 0))
+    val = pl.BlockSpec((1, h, n, dh), lambda i: (i, 0, 0, 0))
+    adj = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0))
     return att, val, adj
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def gat_attention(att_self: jax.Array, att_neigh: jax.Array,
                   values: jax.Array, adj_norm: jax.Array,
-                  adj_struct: jax.Array, bf16: bool = False) -> jax.Array:
+                  adj_struct: jax.Array, bf16: bool = False,
+                  bf16_scores: bool = False) -> jax.Array:
     """Fused masked-softmax attention aggregation.
 
     att_self, att_neigh: [B, H, N] f32 per-node score terms
@@ -124,17 +154,17 @@ def gat_attention(att_self: jax.Array, att_neigh: jax.Array,
     adj_norm:            [B, N, N] f32 dropedge-zeroed 0/1 adjacency
     adj_struct:          [B, N, N] f32 structural 0/1 adjacency
     Returns the aggregated [B, N, H, dh] f32 block (division by the
-    clipped denominator included).  ``bf16`` runs the MXU dots in
-    single-pass bf16 with f32 accumulation (the same trade as
-    ``--matmul_precision bfloat16`` on the XLA path); scores and the
-    softmax stay f32 either way.
+    clipped denominator included).  See the module docstring for the
+    ``bf16`` / ``bf16_scores`` precision levels.
     """
+    assert not (bf16_scores and not bf16), "bf16_scores requires bf16"
     b, h, n = att_self.shape
     dh = values.shape[-1]
     att, val, adj = _specs(b, h, n, dh)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, bf16=bf16),
-        grid=(b, h),
+        functools.partial(_fwd_kernel, bf16=bf16, bf16_scores=bf16_scores,
+                          nh=h),
+        grid=(b,),
         in_specs=[att, att, val, adj, adj],
         out_specs=val,
         out_shape=jax.ShapeDtypeStruct((b, h, n, dh), jnp.float32),
@@ -148,20 +178,22 @@ def gat_attention(att_self: jax.Array, att_neigh: jax.Array,
     return jnp.transpose(out, (0, 2, 1, 3))           # back to [B,N,H,dh]
 
 
-def _fwd(att_self, att_neigh, values, adj_norm, adj_struct, bf16):
+def _fwd(att_self, att_neigh, values, adj_norm, adj_struct, bf16,
+         bf16_scores):
     out = gat_attention(att_self, att_neigh, values, adj_norm, adj_struct,
-                        bf16)
+                        bf16, bf16_scores)
     return out, (att_self, att_neigh, values, adj_norm, adj_struct, out)
 
 
-def _bwd(bf16, res, g):
+def _bwd(bf16, bf16_scores, res, g):
     att_self, att_neigh, values, adj_norm, adj_struct, out = res
     b, h, n = att_self.shape
     dh = values.shape[-1]
     att, val, adj = _specs(b, h, n, dh)
     das, dan, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, bf16=bf16),
-        grid=(b, h),
+        functools.partial(_bwd_kernel, bf16=bf16, bf16_scores=bf16_scores,
+                          nh=h),
+        grid=(b,),
         in_specs=[att, att, val, adj, adj, val, val],
         out_specs=(att, att, val),
         out_shape=(jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),

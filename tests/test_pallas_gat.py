@@ -133,3 +133,30 @@ def test_gatscatter_fused_matches_dense(tmp_path):
                         jnp.asarray(adj), jnp.asarray(mask), train=False)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_scores_close():
+    """The bf16 score-chain level (exp/mask in bf16, f32 row-sum
+    denominator): bounded by bf16 rounding of exp in [0, 1]."""
+    args = _case(6)
+    got = pg.gat_attention(*args, True, True)
+    want = pg.gat_attention_reference(*args)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-2, atol=4e-2)
+    # grads stay close too (flash-style recompute shares _scores)
+    a_s, a_n, v, adj_norm, adj = args
+    cot = jnp.asarray(np.random.default_rng(11).normal(
+        size=got.shape).astype(np.float32))
+
+    def loss(fn, a_s, a_n, v, **kw):
+        return (fn(a_s, a_n, v, adj_norm, adj, **kw) * cot).sum()
+
+    g1 = jax.grad(lambda *a: loss(pg.gat_attention, *a, bf16=True,
+                                  bf16_scores=True),
+                  argnums=(0, 1, 2))(a_s, a_n, v)
+    g2 = jax.grad(functools.partial(loss, pg.gat_attention_reference),
+                  argnums=(0, 1, 2))(a_s, a_n, v)
+    for got_g, want_g, name in zip(g1, g2, ("att_self", "att_neigh", "v")):
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                                   rtol=6e-2, atol=6e-2, err_msg=name)
