@@ -99,6 +99,14 @@ class DeviceGraph:
     max_deg: int
     meta: dict = field(default_factory=dict)
 
+    # indices padding granularity: the row-slice induction reads
+    # neighbor lists as [*, ROW_BLOCK]-blocked row gathers (a TPU 2-D
+    # row gather costs ~15 ns per ROW regardless of width, vs ~10 ns
+    # per ELEMENT for 1-D gathers — scripts/gather_microbench.py), so
+    # indices is padded with the num_nodes sentinel to a block multiple
+    # and reshaped for free inside the jitted programs.
+    ROW_BLOCK = 32
+
     @classmethod
     def from_csr(cls, indptr: np.ndarray, indices: np.ndarray, **meta):
         import jax.numpy as jnp
@@ -108,9 +116,13 @@ class DeviceGraph:
         deg = np.diff(indptr)
         max_deg = int(deg.max()) if n > 0 else 0
         ptr_dtype = np.int64 if e >= 2**31 else np.int32
+        pad = (-e) % cls.ROW_BLOCK
+        idx = indices.astype(np.int32)
+        if pad:
+            idx = np.concatenate([idx, np.full(pad, n, np.int32)])
         return cls(
             indptr=jnp.asarray(indptr.astype(ptr_dtype)),
-            indices=jnp.asarray(indices.astype(np.int32)),
+            indices=jnp.asarray(idx),
             num_nodes=n,
             num_edges=e,
             max_deg=max_deg,

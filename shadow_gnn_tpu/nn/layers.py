@@ -120,16 +120,51 @@ class Act(nn.Module):
         return get_act(self.act_name)(x)
 
 
+@jax.custom_vjp
 def norm_feat(feat: jax.Array, scale: jax.Array, offset: jax.Array) -> jax.Array:
     """Reference layers.py:329-338: per-row affine layernorm.
 
-    Statistics accumulate in float32 regardless of activation dtype."""
+    Statistics accumulate in float32 regardless of activation dtype.
+    Custom VJP: the backward recomputes the row statistics from the
+    saved INPUT (no xhat/inv residuals held across the step) and emits
+    the scale/offset grads from the same fused pass as dx — the
+    round-2 flagship trace showed the autodiff norm backward as three
+    separate multiply_reduce fusions totalling ~10% of the step."""
+    return _norm_feat_fwd_math(feat, scale, offset)[0]
+
+
+def _norm_feat_fwd_math(feat, scale, offset):
     dt = feat.dtype
     f32 = feat.astype(jnp.float32)
     mean = f32.mean(-1, keepdims=True)
     var = ((f32 - mean) ** 2).mean(-1, keepdims=True) + 1e-9
     out = (f32 - mean) * scale * jax.lax.rsqrt(var) + offset
-    return out.astype(dt)
+    return out.astype(dt), None
+
+
+def _norm_feat_fwd(feat, scale, offset):
+    out, _ = _norm_feat_fwd_math(feat, scale, offset)
+    return out, (feat, scale)
+
+
+def _norm_feat_bwd(res, g):
+    feat, scale = res
+    f32 = feat.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    mean = f32.mean(-1, keepdims=True)
+    var = ((f32 - mean) ** 2).mean(-1, keepdims=True) + 1e-9
+    inv = jax.lax.rsqrt(var)
+    xhat = (f32 - mean) * inv
+    red = tuple(range(g32.ndim - len(scale.shape)))
+    dscale = (g32 * xhat).sum(red).reshape(scale.shape)
+    doffset = g32.sum(red).reshape(scale.shape)
+    gs = g32 * scale
+    dx = inv * (gs - gs.mean(-1, keepdims=True)
+                - xhat * (gs * xhat).mean(-1, keepdims=True))
+    return dx.astype(feat.dtype), dscale, doffset
+
+
+norm_feat.defvjp(_norm_feat_fwd, _norm_feat_bwd)
 
 
 def pairnorm(feat: jax.Array, node_mask: jax.Array, s: float = 1.0) -> jax.Array:

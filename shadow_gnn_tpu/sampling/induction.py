@@ -235,40 +235,20 @@ def _hub_pairs(graph: DeviceGraph, nodes: jax.Array, lo: jax.Array,
     return adj_h, overflow
 
 
-def _row_slices(table: jax.Array, starts: jax.Array, width: int
-                ) -> jax.Array:
-    """Contiguous ``width``-wide slices ``table[starts[i] : starts[i]+
-    width]`` as ONE wide gather — [B, N] starts -> [B, N, width].
-
-    TPU element gathers cost ~100 ns/element (the round-2 candidate
-    machinery spent half the collab epoch in four of them); a slice
-    gather reads whole cache lines.  Starts are pre-clamped to
-    ``len(table) - width`` by the CALLER (which must mask the shifted
-    positions) so the CLIP gather mode never distorts silently."""
-    flat = starts.reshape(-1, 1)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
-    w = min(width, table.shape[0])
-    out = jax.lax.gather(table, flat, dn, slice_sizes=(w,),
-                         mode=jax.lax.GatherScatterMode.CLIP)
-    if w < width:
-        out = jnp.pad(out, ((0, 0), (0, width - w)),
-                      constant_values=jnp.iinfo(out.dtype).max)
-    return out.reshape(starts.shape + (width,))
-
-
 def membership_matrix_rows(graph: DeviceGraph, nodes: jax.Array,
                            deg_cap: int, hub_slots: int) -> tuple:
     """Row-slice induction: adj[b,i,j] = 1 iff nodes[b,j] appears in the
     CSR row of nodes[b,i].
 
-    Each member's neighbor list is fetched as ONE contiguous
-    ``deg_cap``-wide slice ([B, N, D] — cache-line reads instead of the
-    per-candidate element gathers of :func:`membership_matrix_cand`,
-    which measured ~100 ns/element on TPU), then membership is a single
-    fused broadcast-compare + or-reduce against the sorted node table —
-    no searchsorted, no one-hot einsums, and the [B, N, N, D] compare
-    never materializes (XLA fuses the producer into the reduce).
+    Each member's neighbor list is read as ROW_BLOCK-wide blocks of the
+    padded ``indices`` array via a 2-D row gather — measured ~15 ns per
+    ROW on TPU regardless of width, vs ~10 ns per ELEMENT for the
+    round-2 candidate machinery's 1-D gathers and ~1.9 µs per row for
+    lax.gather slices (scripts/gather_microbench.py).  Membership is
+    then a single fused broadcast-compare + or-reduce against the node
+    table — no searchsorted, no one-hot einsums; the [B, N, N, R*W]
+    compare never materializes (XLA fuses the producer into the
+    reduce).
 
     ``deg_cap`` must cover the degree of every non-hub member for
     exactness; callers size it at the max (scope) degree when
@@ -288,18 +268,23 @@ def membership_matrix_rows(graph: DeviceGraph, nodes: jax.Array,
     lo = jnp.where(row_valid, graph.indptr[u], 0)
     deg_full = jnp.where(row_valid, graph.indptr[u + 1] - lo, 0)
     small = deg_full <= deg_cap
-    w = min(deg_cap, graph.num_edges)
-    start_c = jnp.minimum(lo, graph.num_edges - w)       # pre-clamp
-    shift = (lo - start_c).astype(jnp.int32)             # [B, N]
-    nbr = _row_slices(graph.indices, start_c, deg_cap)   # [B, N, D]
-    d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, deg_cap), 2)
-    take = ((d >= shift[..., None])
-            & (d < (shift + jnp.minimum(deg_full, deg_cap).astype(
-                jnp.int32))[..., None])
-            & small[..., None] & row_valid[..., None])
+    wb = DeviceGraph.ROW_BLOCK
+    blk = graph.indices.reshape(-1, wb)                  # free: padded
+    # blocks floor(lo/W) .. floor((lo+deg-1)/W): at most R per member
+    r = (deg_cap - 1) // wb + 2
+    r0 = (lo // wb).astype(jnp.int32)
+    rows_idx = jnp.clip(r0[..., None] + jnp.arange(r, dtype=jnp.int32),
+                        0, blk.shape[0] - 1)             # [B, N, R]
+    nbr = blk[rows_idx]                                  # [B, N, R, W]
+    pos = (rows_idx.astype(lo.dtype) * wb)[..., None] \
+        + jnp.arange(wb, dtype=lo.dtype)                 # global positions
+    hi = lo + deg_full                                   # exclusive end
+    take = ((pos >= lo[..., None, None]) & (pos < hi[..., None, None])
+            & (small & row_valid)[..., None, None])
     nbr = jnp.where(take, nbr, n_id)                     # pad -> sentinel
-    # fused membership: dst axis broadcast, or-reduce over the minor D
-    # axis; sentinel never matches (nodes < n_id after masking below)
+    nbr = nbr.reshape(b, n, r * wb)
+    # fused membership: dst axis broadcast, or-reduce over the minor
+    # axis; sentinels never match (dst padding mapped off-range)
     dst = jnp.where(nodes < n_id, nodes, n_id + 1)
     adj = jnp.any(nbr[:, :, None, :] == dst[:, None, :, None], axis=-1)
     if hub_slots > 0:

@@ -243,3 +243,31 @@ def test_model_padding_invariance(aggr):
                           mode_train=False, train=False)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_norm_feat_custom_vjp_matches_autodiff():
+    """norm_feat's fused backward == autodiff of the plain formula."""
+    import jax
+    import jax.numpy as jnp
+    from shadow_gnn_tpu.nn.layers import norm_feat
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 16, 32)).astype(np.float32) * 3)
+    sc = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    of = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    def plain(x, sc, of):
+        f = x.astype(jnp.float32)
+        mean = f.mean(-1, keepdims=True)
+        var = ((f - mean) ** 2).mean(-1, keepdims=True) + 1e-9
+        return (f - mean) * sc * jax.lax.rsqrt(var) + of
+
+    np.testing.assert_allclose(np.asarray(norm_feat(x, sc, of)),
+                               np.asarray(plain(x, sc, of)), rtol=1e-6)
+    l1 = lambda *a: (norm_feat(*a) * g).sum()
+    l2 = lambda *a: (plain(*a) * g).sum()
+    g1 = jax.grad(l1, argnums=(0, 1, 2))(x, sc, of)
+    g2 = jax.grad(l2, argnums=(0, 1, 2))(x, sc, of)
+    for a, b, nm in zip(g1, g2, ("dx", "dscale", "doffset")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=nm)
