@@ -654,7 +654,11 @@ class Trainer:
 
         import functools as _ft
         if train:
-            @jax.jit
+            # params/opt_state are rebound by the caller every epoch and
+            # snapshotted host-side (logger.update_best_model device_gets)
+            # -> donate so the 2x-params Adam state updates in place
+            # instead of allocating+copying a fresh tree per epoch call
+            @partial(jax.jit, donate_argnums=(0, 1))
             def epoch(params, opt_state, rng, roots, rows, labels, w, arrays):
                 (params, opt_state, _), (losses, preds, ovf) = jax.lax.scan(
                     _ft.partial(train_step, arrays), (params, opt_state, rng),
