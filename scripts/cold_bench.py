@@ -161,16 +161,19 @@ def main():
     fn = tr._make_epoch_fn(TRAIN, nb, True)
     arrays = tr._mode_arrays(TRAIN)
     rng = jax.random.PRNGKey(0)
-    pa, oa = tr.params, tr.opt_state
+    state = [tr.params, tr.opt_state]
 
     t0 = time.time()
-    out = fn(pa, oa, rng, roots, rows, labels, w, arrays)
+    # the train epoch program donates params/opt_state -> rebind each call
+    out = fn(state[0], state[1], rng, roots, rows, labels, w, arrays)
+    state[:] = out[:2]
     _ = float(out[2].sum())
     t_compile = time.time() - t0
 
     def run_full():
         t1 = time.time()
-        o = fn(pa, oa, rng, roots, rows, labels, w, arrays)
+        o = fn(state[0], state[1], rng, roots, rows, labels, w, arrays)
+        state[:] = o[:2]
         _ = float(o[2].sum())
         return time.time() - t1
 

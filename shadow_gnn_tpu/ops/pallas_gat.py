@@ -8,12 +8,11 @@ traffic (BENCH.md: 2.7-5.8% MFU, top trace ops are elementwise
 fusions over the score chains).
 
 This kernel exploits the shaDow property that subgraph blocks are
-SMALL (N <= ~512): one batch element's attention problem — ALL heads —
-fits entirely in VMEM.  The grid is head-blocked (one step per batch
-element, heads unrolled inside): the adjacency blocks are fetched and
-masked once for all H heads, the per-head dots queue back-to-back on
-the MXU, and there are H× fewer grid steps than the round-2 (batch,
-head) grid.  Per head it computes
+SMALL (N <= ~512): one batch element's attention problem — ALL heads
+when they fit the ~16 MB VMEM budget (see _head_block), else one head
+per grid step — lives entirely in VMEM.  In the head-blocked mode the
+adjacency blocks are fetched and masked once for all H heads and the
+per-head dots queue back-to-back on the MXU.  Per head it computes
 
     S[i,j]  = att_self[i] + att_neigh[j]            (scores)
     S_m     = where(adj_struct > 0, S, -inf)        (structural mask)
@@ -128,18 +127,42 @@ def _bwd_kernel(a_s_ref, a_n_ref, v_ref, adjn_ref, adjs_ref, out_ref, g_ref,
         dv_ref[0, j] = dv
 
 
-def _specs(b, h, n, dh):
+def _head_block(h, n, dh, bwd: bool) -> int:
+    """Heads per grid step, fitted to the ~16 MB scoped-VMEM budget.
+
+    Unrolling all H heads in one grid step fetches/masks the adjacency
+    blocks once and queues the per-head MXU dots back to back — but the
+    compiler keeps ~6 live [N, N] f32 intermediates per unrolled head
+    in the backward (measured: 17.87 MB scoped at B=64/H=4/N=408 — an
+    OOM against the 16 MB limit).  When the estimate exceeds the budget
+    we fall back to one head per grid step (adjacency re-fetched per
+    head, same HBM traffic as the round-2 kernel)."""
+    per_head = (6 if bwd else 4) * n * n * 4
+    shared = 2 * n * n * 4 + (4 if bwd else 2) * n * dh * 4
+    budget = 12 * 2**20
+    return h if h * per_head + shared <= budget else 1
+
+
+def _specs(b, h, n, dh, h_blk):
     # TPU lowering requires every block's last two dims to be divisible
     # by (8, 128) or equal to the array dims — hence the explicit
     # singleton axis on the att arrays ([B, H, 1, N]) and the
     # head-major value layout ([B, H, N, dh]): all blocks then cover
-    # their trailing dims exactly.  One grid step per BATCH element;
-    # heads ride along inside the block (fetched once, unrolled in the
-    # kernel).
-    att = pl.BlockSpec((1, h, 1, n), lambda i: (i, 0, 0, 0))
-    val = pl.BlockSpec((1, h, n, dh), lambda i: (i, 0, 0, 0))
-    adj = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0))
-    return att, val, adj
+    # their trailing dims exactly, for ANY head dim.  Two measured
+    # alternatives LOSE to this layout despite the ~4 ms
+    # f32[128,152,512] layout copies XLA inserts around the call
+    # (copies were 32% of the products_gat5 epoch trace): a flat
+    # [B, N, H*dh] layout cannot lower when dh % 128 != 0 (papers
+    # dh=200) and is 1.7x slower at products where it can; native
+    # [B, N, H, dh] blocks with in-kernel head slicing lower everywhere
+    # but run 15% slower at papers (strided sublane access beats the
+    # copies it saves).  Grid is (batch,) with all heads riding along
+    # when they fit in VMEM (see _head_block), else (batch, heads).
+    att = pl.BlockSpec((1, h_blk, 1, n), lambda i, j=0: (i, j, 0, 0))
+    val = pl.BlockSpec((1, h_blk, n, dh), lambda i, j=0: (i, j, 0, 0))
+    adj = pl.BlockSpec((1, n, n), lambda i, j=0: (i, 0, 0))
+    grid = (b,) if h_blk == h else (b, h // h_blk)
+    return att, val, adj, grid
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -160,11 +183,12 @@ def gat_attention(att_self: jax.Array, att_neigh: jax.Array,
     assert not (bf16_scores and not bf16), "bf16_scores requires bf16"
     b, h, n = att_self.shape
     dh = values.shape[-1]
-    att, val, adj = _specs(b, h, n, dh)
+    h_blk = _head_block(h, n, dh, bwd=False)
+    att, val, adj, grid = _specs(b, h, n, dh, h_blk)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, bf16=bf16, bf16_scores=bf16_scores,
-                          nh=h),
-        grid=(b,),
+                          nh=h_blk),
+        grid=grid,
         in_specs=[att, att, val, adj, adj],
         out_specs=val,
         out_shape=jax.ShapeDtypeStruct((b, h, n, dh), jnp.float32),
@@ -189,11 +213,12 @@ def _bwd(bf16, bf16_scores, res, g):
     att_self, att_neigh, values, adj_norm, adj_struct, out = res
     b, h, n = att_self.shape
     dh = values.shape[-1]
-    att, val, adj = _specs(b, h, n, dh)
+    h_blk = _head_block(h, n, dh, bwd=True)
+    att, val, adj, grid = _specs(b, h, n, dh, h_blk)
     das, dan, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, bf16=bf16, bf16_scores=bf16_scores,
-                          nh=h),
-        grid=(b,),
+                          nh=h_blk),
+        grid=grid,
         in_specs=[att, att, val, adj, adj, val, val],
         out_specs=(att, att, val),
         out_shape=(jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
