@@ -125,9 +125,9 @@ def norm_feat(feat: jax.Array, scale: jax.Array, offset: jax.Array) -> jax.Array
     """Reference layers.py:329-338: per-row affine layernorm.
 
     Statistics accumulate in float32 regardless of activation dtype.
-    Custom VJP: the backward recomputes the row statistics from the
-    saved INPUT (no xhat/inv residuals held across the step) and emits
-    the scale/offset grads from the same fused pass as dx — the
+    Custom VJP: the backward reuses the saved [..., 1] row statistics
+    (mean / inv-std — negligible memory next to the activations) and
+    emits the scale/offset grads from the same fused pass as dx — the
     round-2 flagship trace showed the autodiff norm backward as three
     separate multiply_reduce fusions totalling ~10% of the step."""
     return _norm_feat_fwd_math(feat, scale, offset)[0]
@@ -138,22 +138,22 @@ def _norm_feat_fwd_math(feat, scale, offset):
     f32 = feat.astype(jnp.float32)
     mean = f32.mean(-1, keepdims=True)
     var = ((f32 - mean) ** 2).mean(-1, keepdims=True) + 1e-9
-    out = (f32 - mean) * scale * jax.lax.rsqrt(var) + offset
-    return out.astype(dt), None
+    inv = jax.lax.rsqrt(var)
+    out = (f32 - mean) * scale * inv + offset
+    return out.astype(dt), (mean, inv)
 
 
 def _norm_feat_fwd(feat, scale, offset):
-    out, _ = _norm_feat_fwd_math(feat, scale, offset)
-    return out, (feat, scale)
+    out, (mean, inv) = _norm_feat_fwd_math(feat, scale, offset)
+    # mean/inv are [..., 1] — cheap residuals that spare the backward a
+    # full recompute pass over the activations
+    return out, (feat, scale, mean, inv)
 
 
 def _norm_feat_bwd(res, g):
-    feat, scale = res
+    feat, scale, mean, inv = res
     f32 = feat.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
-    mean = f32.mean(-1, keepdims=True)
-    var = ((f32 - mean) ** 2).mean(-1, keepdims=True) + 1e-9
-    inv = jax.lax.rsqrt(var)
     xhat = (f32 - mean) * inv
     red = tuple(range(g32.ndim - len(scale.shape)))
     dscale = (g32 * xhat).sum(red).reshape(scale.shape)

@@ -203,13 +203,17 @@ def _hub_pairs(graph: DeviceGraph, nodes: jax.Array, lo: jax.Array,
     b, n = nodes.shape
     h = hub_slots
     ar = jnp.arange(n, dtype=jnp.int32)
-    order = jnp.argsort(-deg_full, axis=-1)[:, :h]              # [B, H]
-    hdeg = jnp.take_along_axis(deg_full, order, axis=-1)
+    # one (deg desc, index asc) lax.sort yields order/hdeg/hlo/hnodes
+    # together — replaces argsort + three take_along gathers; the index
+    # tiebreak key reproduces the stable-argsort hub choice exactly
+    arb = jnp.broadcast_to(ar, (b, n))
+    _, order, hdeg, hlo, hnodes = jax.lax.sort(
+        (-deg_full, arb, deg_full, lo, nodes), dimension=-1, num_keys=2)
+    order, hdeg = order[:, :h], hdeg[:, :h]
+    hlo, hnodes = hlo[:, :h], hnodes[:, :h]
     hub_valid = hdeg > deg_cap
     n_hubs = (deg_full > deg_cap).sum(-1)
     overflow = jnp.maximum(n_hubs - h, 0).sum().astype(jnp.int32)
-    hlo = jnp.take_along_axis(lo, order, axis=-1)
-    hnodes = jnp.take_along_axis(nodes, order, axis=-1)
     q = hnodes[:, None, :]                                      # [B, 1, H]
     lo2 = jnp.broadcast_to(hlo[:, :, None], (b, h, h))
     hi2 = jnp.broadcast_to((hlo + hdeg)[:, :, None], (b, h, h))

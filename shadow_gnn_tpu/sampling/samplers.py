@@ -42,14 +42,16 @@ class PPRTables(NamedTuple):
 def _dedup_with_scores(ids: jax.Array, scores: jax.Array, sentinel: int,
                        n_pad: int) -> Tuple[jax.Array, jax.Array]:
     """Sort ids ascending, dedup keeping the max score per id, pad to n_pad."""
-    # stable two-pass: order by score desc, then stable-sort by id so the
-    # first occurrence of each id carries its max score
-    o1 = jnp.argsort(-scores, axis=-1, stable=True)
-    ids1 = jnp.take_along_axis(ids, o1, axis=-1)
-    sc1 = jnp.take_along_axis(scores, o1, axis=-1)
-    o2 = jnp.argsort(ids1, axis=-1, stable=True)
-    ids2 = jnp.take_along_axis(ids1, o2, axis=-1)
-    sc2 = jnp.take_along_axis(sc1, o2, axis=-1)
+    # ONE lexicographic (id asc, score desc) lax.sort replaces the
+    # two-pass (score-desc argsort, then stable-by-id argsort) ordering
+    # and its four take_along gathers.  These sorts run every step on
+    # the cache-ineligible samplers (ppr_st / link tasks) and the
+    # [B, ~2k] sort chains are latency-bound on TPU, so one fewer wide
+    # sort+gather round is ~a third of the dedup cost.  (Ties in
+    # (id, score) are identical entries — unordered among themselves,
+    # same dedup result.)
+    ids2, _, sc2 = jax.lax.sort((ids, -scores, scores), dimension=-1,
+                                num_keys=2)
     prev = jnp.concatenate([jnp.full_like(ids2[..., :1], -1), ids2[..., :-1]], -1)
     dup = ids2 == prev
     ids3 = jnp.where(dup, sentinel, ids2)
@@ -61,12 +63,16 @@ def _dedup_with_scores(ids: jax.Array, scores: jax.Array, sentinel: int,
         # keep; sentinels rank last) instead of the lowest node ids
         pri = jnp.where(ids3 == sentinel, -jnp.inf,
                         jnp.where(sc3 < 0, jnp.inf, sc3))
-        ot = jnp.argsort(-pri, axis=-1, stable=True)
-        ids3 = jnp.take_along_axis(ids3, ot, axis=-1)[..., :n_pad]
-        sc3 = jnp.take_along_axis(sc3, ot, axis=-1)[..., :n_pad]
-    o4 = jnp.argsort(ids3, axis=-1, stable=True)
-    ids4 = jnp.take_along_axis(ids3, o4, axis=-1)
-    sc4 = jnp.take_along_axis(sc3, o4, axis=-1)
+        # ties in pri are either identical (id, score) entries or
+        # sentinels (id identical too) — order among them is irrelevant
+        _, ids3, sc3 = jax.lax.sort((-pri, ids3, sc3), dimension=-1,
+                                    num_keys=1)
+        ids3 = ids3[..., :n_pad]
+        sc3 = sc3[..., :n_pad]
+    # final ascending-id order; within a duplicate id group every
+    # surviving entry is (sentinel, 0) except the kept one, and ids are
+    # unique otherwise, so single-key ordering is sufficient
+    ids4, sc4 = jax.lax.sort((ids3, sc3), dimension=-1, num_keys=1)
     if m < n_pad:
         pad = [(0, 0)] * (ids.ndim - 1) + [(0, n_pad - m)]
         ids4 = jnp.pad(ids4, pad, constant_values=sentinel)
@@ -166,12 +172,15 @@ def sample_nodes_ppr_st(cfg: SamplerConfig, graph: DeviceGraph,
     u = jax.random.uniform(rng, scores.shape, minval=1e-12, maxval=1.0)
     key = jnp.where(scores > 0, jnp.log(u) / jnp.maximum(scores, 1e-30),
                     -jnp.inf)
-    order = jnp.argsort(-key, axis=-1)                       # best first
+    # one lax.sort carries ids+scores through the race ordering (best
+    # first) instead of argsort + two take_along gathers
+    _, ids_r, sc_r = jax.lax.sort((-key, neighs, scores), dimension=-1,
+                                  num_keys=1)
     rank = jnp.arange(scores.shape[-1])[None, :]
     sel = rank < n_keep[:, None]
     sent = graph.num_nodes
-    ids_sel = jnp.where(sel, jnp.take_along_axis(neighs, order, -1), sent)
-    sc_sel = jnp.where(sel, jnp.take_along_axis(scores, order, -1), 0.0)
+    ids_sel = jnp.where(sel, ids_r, sent)
+    sc_sel = jnp.where(sel, sc_r, 0.0)
     ids = ids_sel.reshape(b, -1)
     sc = sc_sel.reshape(b, -1)
     ids = jnp.concatenate([roots, ids], axis=-1)
