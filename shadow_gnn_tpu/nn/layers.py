@@ -23,6 +23,7 @@ U(-1/sqrt(fan_in)) init so training dynamics track the reference.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -30,29 +31,56 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
-def _fused_attention(att_self, att_neigh, values, adj_norm, adj_struct):
-    """Dispatch GAT attention to the fused Pallas kernel.
+def _fused_attention_flat(att_self, att_neigh, values_flat, adj_norm,
+                          adj_struct, heads):
+    """Dispatch GAT attention to the fused Pallas kernel, flat layout.
 
-    att_self / att_neigh: [B, N, H];  values: [B, N, H, dh];
-    adjacencies: [B, N, N].  Returns the aggregated [B, N, H, dh] f32
+    att_self / att_neigh: [B, N, H];  values_flat: [B, N, H*dh];
+    adjacencies: [B, N, N].  Returns the aggregated [B, N, H*dh] f32
     block (denominator division included) — numerics-equal to the dense
     chain (tests/test_pallas_gat.py).  MXU dots run bf16 when either
     the session's matmul precision asks for it or the activations are
     already bf16 (the same trade the XLA path makes).
+
+    The kernel operands/results are head-major ([B, H, N, dh],
+    ops/pallas_gat.py:gat_attention_hm); the flat<->head-major
+    conversions here are the ONLY [B, N, H*dh]-class layout copies on
+    the fused path — one per direction per tensor (fwd values/out,
+    bwd g/dv via autodiff of these transposes).
     """
-    from shadow_gnn_tpu.ops.pallas_gat import gat_attention
+    from shadow_gnn_tpu.ops.pallas_gat import gat_attention_hm
     bf16 = (jax.config.jax_default_matmul_precision
             in ("bfloat16", "tensorfloat32")
-            or values.dtype == jnp.bfloat16)
-    vals = values if bf16 else values.astype(jnp.float32)
+            or values_flat.dtype == jnp.bfloat16)
+    vals = values_flat if bf16 else values_flat.astype(jnp.float32)
+    b, n, d = values_flat.shape
+    dh = d // heads
+    vals_hm = jnp.transpose(vals.reshape(b, n, heads, dh), (0, 2, 1, 3))
     # under the bf16 precision trade the [N, N] exp/mask score chain
     # also runs bf16 (f32 row-sum denominator) — at papers100M shapes
     # the dots are already fast and the VPU score chain is the cap
-    return gat_attention(
+    out_hm = gat_attention_hm(
         jnp.transpose(att_self, (0, 2, 1)).astype(jnp.float32),
         jnp.transpose(att_neigh, (0, 2, 1)).astype(jnp.float32),
-        vals, adj_norm.astype(jnp.float32), adj_struct.astype(jnp.float32),
-        bf16, bf16)
+        vals_hm, adj_norm.astype(jnp.float32),
+        adj_struct.astype(jnp.float32), bf16, bf16)
+    return jnp.transpose(out_hm, (0, 2, 1, 3)).reshape(b, n, d)
+
+
+def _head_indicator(heads: int, dh: int) -> jax.Array:
+    """[heads*dh, heads] 0/1 block indicator: column h marks head h's
+    dh-wide slice of the flat feature axis."""
+    return jnp.repeat(jnp.eye(heads, dtype=jnp.float32), dh, axis=0)
+
+
+def _head_dot(x: jax.Array, g: jax.Array) -> jax.Array:
+    """Per-head reduction of the flat feature axis: [..., H*dh] @
+    [H*dh, H] -> [..., H], f32 accumulation regardless of the session
+    matmul-precision trade (it feeds normalization statistics)."""
+    return jax.lax.dot_general(
+        x, g, (((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 def torch_linear_init(key, shape, dtype=jnp.float32):
@@ -167,6 +195,66 @@ def _norm_feat_bwd(res, g):
 norm_feat.defvjp(_norm_feat_fwd, _norm_feat_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def norm_feat_grouped(feat: jax.Array, scale: jax.Array, offset: jax.Array,
+                      heads: int) -> jax.Array:
+    """Per-head ``norm_feat`` on FLAT [..., H*dh] activations.
+
+    Numerically equals ``norm_feat(feat.reshape(..., H, dh), scale_4d,
+    offset_4d).reshape(..., H*dh)`` with ``scale = scale_4d.ravel()``
+    (tested in tests/test_layers.py), but never materializes the
+    [..., H, dh] layout: per-head mean/var reduce through a tiny
+    [H*dh, H] indicator matmul and broadcast back through its
+    transpose.  On TPU a reshape that splits the lane axis into a
+    non-lane-aligned head dim (e.g. papers100M dh=200) is a physical
+    repack of the whole activation tensor — the round-2 GAT trace
+    showed those copies at 25% of the epoch; this keeps the entire
+    layer flat."""
+    return _norm_grouped_fwd_math(feat, scale, offset, heads)[0]
+
+
+def _norm_grouped_fwd_math(feat, scale, offset, heads):
+    dt = feat.dtype
+    f32 = feat.astype(jnp.float32)
+    dh = f32.shape[-1] // heads
+    g = _head_indicator(heads, dh)
+    mean_h = _head_dot(f32, g) / dh                    # [..., H]
+    mean = _head_dot(mean_h, g.T)                      # broadcast [..., H*dh]
+    cent = f32 - mean
+    var_h = _head_dot(cent * cent, g) / dh + 1e-9
+    inv_h = jax.lax.rsqrt(var_h)
+    inv = _head_dot(inv_h, g.T)
+    out = cent * scale * inv + offset
+    return out.astype(dt), (mean_h, inv_h)
+
+
+def _norm_grouped_fwd(feat, scale, offset, heads):
+    out, (mean_h, inv_h) = _norm_grouped_fwd_math(feat, scale, offset, heads)
+    # per-head [..., H] statistics — cheap residuals (the broadcast
+    # [..., H*dh] versions are two tiny matmuls away in the backward)
+    return out, (feat, scale, mean_h, inv_h)
+
+
+def _norm_grouped_bwd(heads, res, g_out):
+    feat, scale, mean_h, inv_h = res
+    f32 = feat.astype(jnp.float32)
+    g32 = g_out.astype(jnp.float32)
+    dh = f32.shape[-1] // heads
+    g = _head_indicator(heads, dh)
+    xhat = (f32 - _head_dot(mean_h, g.T)) * _head_dot(inv_h, g.T)
+    red = tuple(range(g32.ndim - 1))
+    dscale = (g32 * xhat).sum(red).reshape(scale.shape)
+    doffset = g32.sum(red).reshape(scale.shape)
+    gs = g32 * scale
+    gs_mean = _head_dot(_head_dot(gs, g) / dh, g.T)
+    gsx_mean = _head_dot(_head_dot(gs * xhat, g) / dh, g.T)
+    dx = _head_dot(inv_h, g.T) * (gs - gs_mean - xhat * gsx_mean)
+    return dx.astype(feat.dtype), dscale, doffset
+
+
+norm_feat_grouped.defvjp(_norm_grouped_fwd, _norm_grouped_bwd)
+
+
 def pairnorm(feat: jax.Array, node_mask: jax.Array, s: float = 1.0) -> jax.Array:
     """PairNorm-SI per subgraph block.
 
@@ -275,33 +363,56 @@ class GATConv(_ConvBase):
         assert self.dim_out % h == 0
         x = self._dropout(feat, train)
         b, n, _ = x.shape
-        h_self = f(TorchLinear(self.dim_out)(x)).reshape(b, n, h, dh)
-        h_neigh = f(TorchLinear(self.dim_out)(x)).reshape(b, n, h, dh)
+        h_self_f = f(TorchLinear(self.dim_out)(x))          # [b, n, h*dh]
+        h_neigh_f = f(TorchLinear(self.dim_out)(x))
         # attention params: [2, heads, dh] xavier-uniform (layers.py:557-558)
         att = self.param("attention", nn.initializers.glorot_uniform(),
                          (2, h, dh))
+        scale, offset = self._norm_params((2, h, dh))
+        if self.fused_att:
+            # flat path: activations stay [b, n, h*dh] end to end —
+            # per-head scores and norms reduce through the [h*dh, h]
+            # indicator matmul (_head_dot); the only head-major
+            # materialization is the kernel's value/out conversion
+            # (_fused_attention_flat).  Equal to the dense branch
+            # within summation-order tolerance (tests/test_layers.py).
+            att_self = jax.nn.leaky_relu(
+                _head_dot(h_self_f * att[0].reshape(-1), _head_indicator(
+                    h, dh)), 0.2)
+            att_neigh = jax.nn.leaky_relu(
+                _head_dot(h_neigh_f * att[1].reshape(-1), _head_indicator(
+                    h, dh)), 0.2)
+            aggr = _fused_attention_flat(att_self, att_neigh, h_neigh_f,
+                                         adj_norm, adj_struct,
+                                         h).astype(x.dtype)
+            if self.norm == "pairnorm":
+                aggr = pairnorm(aggr, node_mask)
+                h_self_f = pairnorm(h_self_f, node_mask)
+            elif self.norm != "none":
+                aggr = norm_feat_grouped(aggr, scale[0].reshape(-1),
+                                         offset[0].reshape(-1), h)
+                h_self_f = norm_feat_grouped(h_self_f, scale[1].reshape(-1),
+                                             offset[1].reshape(-1), h)
+            return (h_self_f + aggr) / 2.0
+        h_self = h_self_f.reshape(b, n, h, dh)
+        h_neigh = h_neigh_f.reshape(b, n, h, dh)
         att_self = jax.nn.leaky_relu(
             jnp.einsum("bnhd,hd->bnh", h_self, att[0]), 0.2)
         att_neigh = jax.nn.leaky_relu(
             jnp.einsum("bnhd,hd->bnh", h_neigh, att[1]), 0.2)
-        if self.fused_att:
-            aggr = _fused_attention(att_self, att_neigh, h_neigh,
-                                    adj_norm, adj_struct).astype(x.dtype)
-        else:
-            # S[b,i,j,h] over structural edges
-            s = att_self[:, :, None, :] + att_neigh[:, None, :, :]
-            struct = adj_struct[..., None] > 0
-            s_masked = jnp.where(struct, s, -jnp.inf)
-            row_max = jnp.max(s_masked, axis=2, keepdims=True)  # [b,i,1,h]
-            row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-            # exponentiate the MASKED scores: exp(-inf)=0 keeps non-edges
-            # exactly zero even when an off-edge score exceeds row_max
-            # (unmasked exp could overflow to inf and yield inf*0 = NaN)
-            e = jnp.exp(s_masked - row_max) * adj_norm[..., None]
-            denom = jnp.clip(e.sum(2), 1e-10, None)             # [b,i,h]
-            aggr = jnp.einsum("bijh,bjhd->bihd", e,
-                              h_neigh) / denom[..., None]
-        scale, offset = self._norm_params((2, h, dh))
+        # S[b,i,j,h] over structural edges
+        s = att_self[:, :, None, :] + att_neigh[:, None, :, :]
+        struct = adj_struct[..., None] > 0
+        s_masked = jnp.where(struct, s, -jnp.inf)
+        row_max = jnp.max(s_masked, axis=2, keepdims=True)  # [b,i,1,h]
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+        # exponentiate the MASKED scores: exp(-inf)=0 keeps non-edges
+        # exactly zero even when an off-edge score exceeds row_max
+        # (unmasked exp could overflow to inf and yield inf*0 = NaN)
+        e = jnp.exp(s_masked - row_max) * adj_norm[..., None]
+        denom = jnp.clip(e.sum(2), 1e-10, None)             # [b,i,h]
+        aggr = jnp.einsum("bijh,bjhd->bihd", e,
+                          h_neigh) / denom[..., None]
         if self.norm == "pairnorm":
             aggr = pairnorm(aggr.reshape(b, n, -1), node_mask).reshape(
                 b, n, h, dh)
@@ -336,23 +447,32 @@ class GATScatterConv(_ConvBase):
         w_dst = self.param("w_dst", xavier_normal_gain, (x.shape[-1], self.dim_out))
         b_dst = self.param("b_dst", nn.initializers.zeros, (self.dim_out,))
         att = self.param("attention", xavier_normal_gain, (1, h, dh))
+        if self.fused_att:
+            # flat path (see GATConv): score of edge (i, j) depends only
+            # on source j, so att_self = 0
+            feat_src_f = x @ w_src + b_src                  # [b, n, h*dh]
+            el = jax.nn.leaky_relu(
+                _head_dot(feat_src_f * att.reshape(-1),
+                          _head_indicator(h, dh)), 0.2)
+            aggr_f = _fused_attention_flat(
+                jnp.zeros_like(el), el, feat_src_f, adj_norm, adj_struct,
+                h).astype(x.dtype)
+            feat_self = x @ w_dst + b_dst
+            out = f(aggr_f + feat_self)
+            scale, offset = self._norm_params((self.dim_out,))
+            return self._maybe_norm(out, scale, offset, node_mask)
         feat_src = (x @ w_src + b_src).reshape(b, n, h, dh)
         el = jax.nn.leaky_relu(jnp.einsum("bnhd,ohd->bnh", feat_src, att), 0.2)
-        if self.fused_att:
-            # score of edge (i, j) depends only on source j: att_self = 0
-            aggr = _fused_attention(jnp.zeros_like(el), el, feat_src,
-                                    adj_norm, adj_struct).astype(x.dtype)
-        else:
-            # (reference :727-729)
-            s = jnp.broadcast_to(el[:, None, :, :], (b, n, n, h))
-            struct = adj_struct[..., None] > 0
-            s_masked = jnp.where(struct, s, -jnp.inf)
-            row_max = jnp.max(s_masked, axis=2, keepdims=True)
-            row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-            e = jnp.exp(s_masked - row_max) * adj_norm[..., None]
-            denom = jnp.clip(e.sum(2), 1e-10, None)
-            aggr = jnp.einsum("bijh,bjhd->bihd", e,
-                              feat_src) / denom[..., None]
+        # (reference :727-729)
+        s = jnp.broadcast_to(el[:, None, :, :], (b, n, n, h))
+        struct = adj_struct[..., None] > 0
+        s_masked = jnp.where(struct, s, -jnp.inf)
+        row_max = jnp.max(s_masked, axis=2, keepdims=True)
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+        e = jnp.exp(s_masked - row_max) * adj_norm[..., None]
+        denom = jnp.clip(e.sum(2), 1e-10, None)
+        aggr = jnp.einsum("bijh,bjhd->bihd", e,
+                          feat_src) / denom[..., None]
         feat_self = x @ w_dst + b_dst
         out = f(aggr.reshape(b, n, -1) + feat_self)
         scale, offset = self._norm_params((self.dim_out,))

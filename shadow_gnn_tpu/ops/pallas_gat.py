@@ -166,26 +166,29 @@ def _specs(b, h, n, dh, h_blk):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def gat_attention(att_self: jax.Array, att_neigh: jax.Array,
-                  values: jax.Array, adj_norm: jax.Array,
-                  adj_struct: jax.Array, bf16: bool = False,
-                  bf16_scores: bool = False) -> jax.Array:
-    """Fused masked-softmax attention aggregation.
+def gat_attention_hm(att_self: jax.Array, att_neigh: jax.Array,
+                     values: jax.Array, adj_norm: jax.Array,
+                     adj_struct: jax.Array, bf16: bool = False,
+                     bf16_scores: bool = False) -> jax.Array:
+    """Head-major fused masked-softmax attention aggregation.
 
     att_self, att_neigh: [B, H, N] f32 per-node score terms
-    values:              [B, N, H, dh] (f32, or bf16 with ``bf16=True``)
+    values:              [B, H, N, dh] (f32, or bf16 with ``bf16=True``)
     adj_norm:            [B, N, N] f32 dropedge-zeroed 0/1 adjacency
     adj_struct:          [B, N, N] f32 structural 0/1 adjacency
-    Returns the aggregated [B, N, H, dh] f32 block (division by the
-    clipped denominator included).  See the module docstring for the
-    ``bf16`` / ``bf16_scores`` precision levels.
+    Returns the aggregated [B, H, N, dh] f32 block (division by the
+    clipped denominator included).  All operands and results stay in
+    the kernel's native head-major layout — no transposes inside the
+    VJP boundary, so the only layout copies in a training step are the
+    caller's conversions at the edges (fwd value/out, bwd g/dv).  See
+    the module docstring for the ``bf16`` / ``bf16_scores`` levels.
     """
     assert not (bf16_scores and not bf16), "bf16_scores requires bf16"
     b, h, n = att_self.shape
     dh = values.shape[-1]
     h_blk = _head_block(h, n, dh, bwd=False)
     att, val, adj, grid = _specs(b, h, n, dh, h_blk)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, bf16=bf16, bf16_scores=bf16_scores,
                           nh=h_blk),
         grid=grid,
@@ -198,18 +201,17 @@ def gat_attention(att_self: jax.Array, att_neigh: jax.Array,
             bytes_accessed=b * (2 * n * n + 2 * h * n * dh + 2 * h * n) * 4,
             transcendentals=b * h * n * n),
     )(att_self[:, :, None, :], att_neigh[:, :, None, :],
-      jnp.transpose(values, (0, 2, 1, 3)), adj_norm, adj_struct)
-    return jnp.transpose(out, (0, 2, 1, 3))           # back to [B,N,H,dh]
+      values, adj_norm, adj_struct)
 
 
-def _fwd(att_self, att_neigh, values, adj_norm, adj_struct, bf16,
-         bf16_scores):
-    out = gat_attention(att_self, att_neigh, values, adj_norm, adj_struct,
-                        bf16, bf16_scores)
+def _fwd_hm(att_self, att_neigh, values, adj_norm, adj_struct, bf16,
+            bf16_scores):
+    out = gat_attention_hm(att_self, att_neigh, values, adj_norm,
+                           adj_struct, bf16, bf16_scores)
     return out, (att_self, att_neigh, values, adj_norm, adj_struct, out)
 
 
-def _bwd(bf16, bf16_scores, res, g):
+def _bwd_hm(bf16, bf16_scores, res, g):
     att_self, att_neigh, values, adj_norm, adj_struct, out = res
     b, h, n = att_self.shape
     dh = values.shape[-1]
@@ -230,15 +232,31 @@ def _bwd(bf16, bf16_scores, res, g):
             bytes_accessed=b * (2 * n * n + 4 * h * n * dh + 4 * h * n) * 4,
             transcendentals=b * h * n * n),
     )(att_self[:, :, None, :], att_neigh[:, :, None, :],
-      jnp.transpose(values, (0, 2, 1, 3)), adj_norm, adj_struct,
-      jnp.transpose(out, (0, 2, 1, 3)),
-      jnp.transpose(g.astype(jnp.float32), (0, 2, 1, 3)))
-    dv = jnp.transpose(dv, (0, 2, 1, 3)).astype(values.dtype)
-    return (das[:, :, 0, :], dan[:, :, 0, :], dv,
+      values, adj_norm, adj_struct, out, g.astype(jnp.float32))
+    return (das[:, :, 0, :], dan[:, :, 0, :], dv.astype(values.dtype),
             jnp.zeros_like(adj_norm), jnp.zeros_like(adj_struct))
 
 
-gat_attention.defvjp(_fwd, _bwd)
+gat_attention_hm.defvjp(_fwd_hm, _bwd_hm)
+
+
+def gat_attention(att_self: jax.Array, att_neigh: jax.Array,
+                  values: jax.Array, adj_norm: jax.Array,
+                  adj_struct: jax.Array, bf16: bool = False,
+                  bf16_scores: bool = False) -> jax.Array:
+    """Node-major convenience wrapper around :func:`gat_attention_hm`.
+
+    values: [B, N, H, dh]; returns [B, N, H, dh].  The layout
+    conversions live OUTSIDE the custom VJP, so autodiff transposes
+    each tensor once per direction (fwd: values/out, bwd: g/dv) —
+    the VJP itself re-uses the saved head-major residuals instead of
+    re-transposing them (the round-2 wrapper paid 6 [B,N,H*dh]-class
+    copies per layer step; this pays 4, and the flat fused layer path
+    in nn/layers.py pays the same 4 with none elsewhere)."""
+    vals_hm = jnp.transpose(values, (0, 2, 1, 3))
+    out = gat_attention_hm(att_self, att_neigh, vals_hm, adj_norm,
+                           adj_struct, bf16, bf16_scores)
+    return jnp.transpose(out, (0, 2, 1, 3))
 
 
 def gat_attention_reference(att_self, att_neigh, values, adj_norm,

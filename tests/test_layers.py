@@ -271,3 +271,65 @@ def test_norm_feat_custom_vjp_matches_autodiff():
     for a, b, nm in zip(g1, g2, ("dx", "dscale", "doffset")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5, err_msg=nm)
+
+
+def test_norm_feat_grouped_matches_4d():
+    """Flat per-head norm (indicator-matmul stats) == 4-D norm_feat on
+    the reshaped [..., H, dh] layout, values and all three grads."""
+    from shadow_gnn_tpu.nn.layers import norm_feat_grouped
+    rng = np.random.default_rng(11)
+    b, n, h, dh = 3, 10, 4, 6
+    x = jnp.asarray(rng.normal(size=(b, n, h * dh)).astype(np.float32) * 2)
+    sc = jnp.asarray(rng.normal(size=(h, dh)).astype(np.float32))
+    of = jnp.asarray(rng.normal(size=(h, dh)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    def via_4d(x, sc, of):
+        return norm_feat(x.reshape(b, n, h, dh), sc, of).reshape(b, n, -1)
+
+    want = via_4d(x, sc, of)
+    got = norm_feat_grouped(x, sc.reshape(-1), of.reshape(-1), h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    l1 = lambda x, s, o: (norm_feat_grouped(x, s.reshape(-1),
+                                            o.reshape(-1), h) * g).sum()
+    l2 = lambda x, s, o: (via_4d(x, s, o) * g).sum()
+    g1 = jax.grad(l1, argnums=(0, 1, 2))(x, sc, of)
+    g2 = jax.grad(l2, argnums=(0, 1, 2))(x, sc, of)
+    for a, b_, nm in zip(g1, g2, ("dx", "dscale", "doffset")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_).reshape(np.asarray(a).shape),
+            rtol=1e-4, atol=1e-5, err_msg=nm)
+
+
+def test_gat_fused_flat_grads_match_dense():
+    """The flat fused GATConv path's parameter grads == the dense
+    4-D chain's (same params, same cotangent)."""
+    rng = np.random.default_rng(12)
+    b, n, f = 2, 16, 12
+    adj = (rng.random((b, n, n)) < 0.35).astype(np.float32)
+    adj = np.maximum(adj, np.swapaxes(adj, 1, 2))
+    np.einsum("bii->bi", adj)[:] = 1.0
+    mask = (adj.sum(-1) > 0).astype(np.float32)
+    feat = rng.normal(size=(b, n, f)).astype(np.float32)
+    cot = rng.normal(size=(b, n, 8)).astype(np.float32)
+    dense = GATConv(dim_out=8, mulhead=2, fused_att=False)
+    fused = GATConv(dim_out=8, mulhead=2, fused_att=True)
+    params = dense.init(jax.random.PRNGKey(0), jnp.asarray(feat),
+                        jnp.asarray(adj), jnp.asarray(adj),
+                        jnp.asarray(mask), train=False)
+
+    def loss(layer, p):
+        out = layer.apply(p, jnp.asarray(feat), jnp.asarray(adj),
+                          jnp.asarray(adj), jnp.asarray(mask), train=False)
+        return (out * jnp.asarray(cot)).sum()
+
+    g1 = jax.grad(lambda p: loss(dense, p))(params)
+    g2 = jax.grad(lambda p: loss(fused, p))(params)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict((jax.tree_util.keystr(k), v)
+                 for k, v in jax.tree_util.tree_leaves_with_path(g2))
+    for k, v in flat1:
+        np.testing.assert_allclose(
+            np.asarray(flat2[jax.tree_util.keystr(k)]), np.asarray(v),
+            rtol=2e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
