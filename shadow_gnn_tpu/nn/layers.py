@@ -369,6 +369,36 @@ class GATConv(_ConvBase):
         att = self.param("attention", nn.initializers.glorot_uniform(),
                          (2, h, dh))
         scale, offset = self._norm_params((2, h, dh))
+        import os as _os
+        _layout = _os.environ.get("SHADOW_GAT_LAYOUT", "flat")
+        if self.fused_att and _layout == "hybrid":
+            # hybrid A/B path (perf experiment): 4-D scores/norm like the
+            # dense branch, head-major kernel via the node-major wrapper
+            from shadow_gnn_tpu.ops.pallas_gat import gat_attention
+            h_self = h_self_f.reshape(b, n, h, dh)
+            h_neigh = h_neigh_f.reshape(b, n, h, dh)
+            att_self = jax.nn.leaky_relu(
+                jnp.einsum("bnhd,hd->bnh", h_self, att[0]), 0.2)
+            att_neigh = jax.nn.leaky_relu(
+                jnp.einsum("bnhd,hd->bnh", h_neigh, att[1]), 0.2)
+            bf16 = (jax.config.jax_default_matmul_precision
+                    in ("bfloat16", "tensorfloat32")
+                    or h_neigh.dtype == jnp.bfloat16)
+            vals = h_neigh if bf16 else h_neigh.astype(jnp.float32)
+            aggr = gat_attention(
+                jnp.transpose(att_self, (0, 2, 1)).astype(jnp.float32),
+                jnp.transpose(att_neigh, (0, 2, 1)).astype(jnp.float32),
+                vals, adj_norm.astype(jnp.float32),
+                adj_struct.astype(jnp.float32), bf16, bf16).astype(x.dtype)
+            if self.norm == "pairnorm":
+                aggr = pairnorm(aggr.reshape(b, n, -1), node_mask).reshape(
+                    b, n, h, dh)
+                h_self = pairnorm(h_self.reshape(b, n, -1),
+                                  node_mask).reshape(b, n, h, dh)
+            elif self.norm != "none":
+                aggr = norm_feat(aggr, scale[0], offset[0])
+                h_self = norm_feat(h_self, scale[1], offset[1])
+            return (h_self.reshape(b, n, -1) + aggr.reshape(b, n, -1)) / 2.0
         if self.fused_att:
             # flat path: activations stay [b, n, h*dh] end to end —
             # per-head scores and norms reduce through the [h*dh, h]

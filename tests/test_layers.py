@@ -333,3 +333,35 @@ def test_gat_fused_flat_grads_match_dense():
         np.testing.assert_allclose(
             np.asarray(flat2[jax.tree_util.keystr(k)]), np.asarray(v),
             rtol=2e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_gatscatter_fused_flat_grads_match_dense():
+    """GATScatterConv flat fused path's parameter grads == dense chain's."""
+    from shadow_gnn_tpu.nn.layers import GATScatterConv
+    rng = np.random.default_rng(13)
+    b, n, f = 2, 16, 12
+    adj = (rng.random((b, n, n)) < 0.35).astype(np.float32)
+    adj = np.maximum(adj, np.swapaxes(adj, 1, 2))
+    np.einsum("bii->bi", adj)[:] = 1.0
+    mask = np.ones((b, n), np.float32)
+    feat = rng.normal(size=(b, n, f)).astype(np.float32)
+    cot = rng.normal(size=(b, n, 8)).astype(np.float32)
+    dense = GATScatterConv(dim_out=8, mulhead=2, fused_att=False)
+    fused = GATScatterConv(dim_out=8, mulhead=2, fused_att=True)
+    params = dense.init(jax.random.PRNGKey(0), jnp.asarray(feat),
+                        jnp.asarray(adj), jnp.asarray(adj),
+                        jnp.asarray(mask), train=False)
+
+    def loss(layer, p):
+        out = layer.apply(p, jnp.asarray(feat), jnp.asarray(adj),
+                          jnp.asarray(adj), jnp.asarray(mask), train=False)
+        return (out * jnp.asarray(cot)).sum()
+
+    g1 = jax.grad(lambda p: loss(dense, p))(params)
+    g2 = jax.grad(lambda p: loss(fused, p))(params)
+    flat2 = dict((jax.tree_util.keystr(k), v)
+                 for k, v in jax.tree_util.tree_leaves_with_path(g2))
+    for k, v in jax.tree_util.tree_leaves_with_path(g1):
+        np.testing.assert_allclose(
+            np.asarray(flat2[jax.tree_util.keystr(k)]), np.asarray(v),
+            rtol=2e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
