@@ -117,7 +117,7 @@ def main():
     # (the same trade PyTorch makes with TF32-by-default on Ampere)
     tr = Trainer(f"bench{num_nodes // 1000}k", "/tmp/shadow_bench_cache",
                  g, parsed, metrics,
-                 logger, seed=0, use_device_ppr=False, prng_impl="rbg",
+                 logger, seed=0, use_device_ppr=None, prng_impl="rbg",
                  matmul_precision="bfloat16")
     tr._ensure_tables(TRAIN)
     t_init = time.time() - t_init0
@@ -140,7 +140,10 @@ def main():
                                       arrays)
         _ = float(losses.sum())
         times.append(time.time() - t0)
-    t_epoch_cold = min(times)
+    # honest spelling: median of the measured epochs + relative spread
+    # (min() flatters the headline by construction — VERDICT r3 weak #5)
+    t_epoch_cold = float(np.median(times))
+    cold_spread = (max(times) - min(times)) / t_epoch_cold
     assert int(ovf) == 0, f"candidate overflow {int(ovf)}"
     num_subg = int(w_np.sum())
     cold_subg_per_s = num_subg / t_epoch_cold
@@ -163,7 +166,8 @@ def main():
                                        arrays2)
         _ = float(losses.sum())
         times.append(time.time() - t0)
-    t_epoch = min(times)
+    t_epoch = float(np.median(times))
+    epoch_spread = (max(times) - min(times)) / t_epoch
     subg_per_s = num_subg / t_epoch
 
     # effective aggregation edges/s (the BASELINE.json edges/s/chip
@@ -200,7 +204,9 @@ def main():
                          else f"{platform} (FALLBACK: default device "
                               "unreachable — not a TPU number)"),
             "epoch_s": round(t_epoch, 3),
+            "epoch_spread": round(epoch_spread, 3),
             "cold_epoch_s": round(t_epoch_cold, 3),
+            "cold_epoch_spread": round(cold_spread, 3),
             "cold_subg_per_s": round(cold_subg_per_s, 1),
             "cache_build_s": round(t_cache_build, 1),
             "first_epoch_incl_compile_s": round(t_compile_first, 1),

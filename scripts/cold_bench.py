@@ -110,7 +110,7 @@ def build_trainer(p, platform_args):
     metrics = Metrics("toy", p["arch"]["loss"] == "sigmoid", metric, 1)
     logger = Logger(metrics, "/tmp/cold_bench_log", no_log=True)
     tr = Trainer("coldbench", "/tmp/shadow_cold_cache", g, parsed, metrics,
-                 logger, seed=0, use_device_ppr=False, **platform_args)
+                 logger, seed=0, use_device_ppr=None, **platform_args)
     return tr
 
 
@@ -124,7 +124,7 @@ def time_epoch(fn, args, n_warm=1, n_meas=3, sync=lambda out: None):
         out = fn(*args)
         sync(out)
         times.append(time.time() - t0)
-    return min(times), out
+    return float(np.median(times)), out
 
 
 def main():
@@ -177,7 +177,9 @@ def main():
         _ = float(o[2].sum())
         return time.time() - t1
 
-    t_full = min(run_full() for _ in range(3))
+    full_times = [run_full() for _ in range(3)]
+    t_full = float(np.median(full_times))
+    full_spread = (max(full_times) - min(full_times)) / t_full
     if args.trace:
         import gzip
         import glob as _glob
@@ -213,6 +215,7 @@ def main():
         "batches": nb,
         "subgraphs_per_epoch": num_subg,
         "epoch_s": round(t_full, 3),
+        "epoch_spread": round(full_spread, 3),
         "subg_per_s": round(num_subg / t_full, 1),
         "first_epoch_incl_compile_s": round(t_compile, 1),
         "overflow": int(out[4]),
@@ -269,8 +272,9 @@ def main():
                 _, o = ep(*a)
                 _ = float(o[0].sum())
                 ts.append(time.time() - t1)
-            res[f"stage_{stage}_s"] = round(min(ts), 3)
-            res[f"stage_{stage}_subg_per_s"] = round(num_subg / min(ts), 1)
+            t_med = float(np.median(ts))
+            res[f"stage_{stage}_s"] = round(t_med, 3)
+            res[f"stage_{stage}_subg_per_s"] = round(num_subg / t_med, 1)
 
     print(json.dumps(res))
 

@@ -84,7 +84,7 @@ def run_variant(g, data_dir, log_dir, chunk_batches):
     metrics = Metrics("cb", False, "accuracy", 1)
     logger = Logger(metrics, log_dir, no_log=True)
     tr = Trainer("cb", data_dir, g, parsed, metrics, logger,
-                 seed=0, use_device_ppr=False)
+                 seed=0, use_device_ppr=None)
     tr.chunk_batches = chunk_batches
     n0 = len(catcher.events)
     t0 = time.time()

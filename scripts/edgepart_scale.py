@@ -86,7 +86,7 @@ def main():
     # materializes [T, N] dense iterates — fine on a TPU, pathological
     # on this script's CPU-mesh backend
     tr = Trainer("epscale", "", g, parsed, m, logger, seed=0,
-                 use_device_ppr=False)
+                 use_device_ppr=None)
     tr._ensure_tables(TRAIN)
     print(f"init + PPR tables: {time.time()-t0:.0f}s", flush=True)
     scfg = tr.branches[0]["cfg"][TRAIN]

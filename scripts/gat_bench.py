@@ -145,7 +145,7 @@ def run(preset: str, n_roots: int, trace: bool, graph_nodes: int,
     os.makedirs(cache_dir, exist_ok=True)
     t0 = time.time()
     tr = Trainer(f"gatbench_{preset}", cache_dir, g, parsed, metrics,
-                 logger, seed=0, use_device_ppr=False, prng_impl="rbg",
+                 logger, seed=0, use_device_ppr=None, prng_impl="rbg",
                  matmul_precision="bfloat16", compute_dtype=compute_dtype,
                  fused_gat=fused, packed_adj=packed_adj,
                  feat_dtype=feat_dtype)

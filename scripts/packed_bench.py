@@ -49,7 +49,7 @@ def run(g, packed: bool, k: int, dim: int, batch_size: int) -> dict:
     cache_dir = "/tmp/shadow_packedbench"
     os.makedirs(cache_dir, exist_ok=True)
     tr = Trainer("packedbench", cache_dir, g, parsed, metrics, logger,
-                 seed=0, use_device_ppr=False, prng_impl="rbg",
+                 seed=0, use_device_ppr=None, prng_impl="rbg",
                  matmul_precision="bfloat16", packed_adj=packed)
     tr._ensure_tables(TRAIN)
     tr._ensure_caches(TRAIN)

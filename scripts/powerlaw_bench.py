@@ -87,7 +87,7 @@ def run(preset: str, n_roots: int = 8192, batch_size: int = 64) -> dict:
     os.makedirs(cache_dir, exist_ok=True)
     t0 = time.time()
     tr = Trainer(f"plbench_{preset}", cache_dir, g, parsed, metrics,
-                 logger, seed=0, use_device_ppr=False, prng_impl="rbg",
+                 logger, seed=0, use_device_ppr=None, prng_impl="rbg",
                  matmul_precision="bfloat16")
     tr._ensure_tables(TRAIN)
     t_init = time.time() - t0

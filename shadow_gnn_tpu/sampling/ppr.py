@@ -117,6 +117,54 @@ def ppr_push_host(indptr: np.ndarray, indices: np.ndarray,
 # TPU-native batched power iteration
 # ---------------------------------------------------------------------------
 
+def plan_device_ppr(num_nodes: int, num_edges: int, platform: str,
+                    hbm_bytes: Optional[int],
+                    want_batch: int = 512, min_batch: int = 256
+                    ) -> Tuple[bool, int]:
+    """HBM-aware auto-selection between :func:`ppr_power_device` and the
+    native host push.
+
+    The power iteration's working set is ~4 live ``[N, batch]`` f32
+    blocks (one-hot seeds, the iterate, the SpMM message, plus XLA's
+    scan double-buffer) on top of the edge arrays (src/dst int32 + w
+    f32 = 12 bytes/edge).  Without a guard the round-3 heuristic
+    ("any graph >200k nodes on an accelerator") would OOM any >~2M-node
+    TPU run: a 10M-node proxy needs ~82 GB at batch 512 vs 16 GB v5e
+    HBM.  This planner fits the batch into half the device memory and
+    falls back to the native push when the batch would have to shrink
+    below ``min_batch`` — below that, the 50 full-edge SpMM sweeps per
+    block lose their amortization and the per-target push wins anyway.
+
+    Returns ``(use_device, batch)``.
+    """
+    if platform == "cpu" or num_nodes <= 200_000:
+        # small graphs: per-target push is fast enough and avoids
+        # burning device time; CPU backend: the [N, batch] dense
+        # iterates are pathological there.
+        return False, want_batch
+    budget = 0.5 * float(hbm_bytes if hbm_bytes else 16 << 30)
+    avail = budget - 12.0 * num_edges
+    if avail <= 0:
+        return False, want_batch
+    b_max = int(avail // (16.0 * num_nodes))
+    if b_max >= want_batch:
+        return True, want_batch
+    if b_max >= min_batch:
+        return True, b_max
+    return False, want_batch
+
+
+def device_memory_bytes(device) -> Optional[int]:
+    """Best-effort HBM capacity of a jax device (None if unknown)."""
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    return stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+
+
 def ppr_power_device(indptr: np.ndarray, indices: np.ndarray,
                      targets: np.ndarray, k: int, alpha: float,
                      num_iter: int = 50, batch: int = 512

@@ -203,12 +203,18 @@ class Trainer:
         # PPR tables per (mode, branch)
         # auto: batched power iteration on an accelerator for big
         # graphs, native host push otherwise.  The device path
-        # materializes [T_chunk, N] dense iterates — right for TPU HBM
-        # bandwidth, pathological on the CPU backend at large N.
-        self.use_device_ppr = (
-            use_device_ppr if use_device_ppr is not None
-            else (self.num_nodes > 200_000
-                  and jax.devices()[0].platform != "cpu"))
+        # materializes [N, batch] dense iterates — right for TPU HBM
+        # bandwidth, pathological on the CPU backend (and an OOM at
+        # >~2M nodes on a 16 GB chip), so the auto-choice is HBM-aware
+        # (ppr.plan_device_ppr): it shrinks the block when near the
+        # limit and falls back to the native push beyond it.
+        dev0 = jax.devices()[0]
+        auto_dev, auto_batch = ppr_mod.plan_device_ppr(
+            self.num_nodes, int(self.graph[TRAIN].num_edges),
+            dev0.platform, ppr_mod.device_memory_bytes(dev0))
+        self.use_device_ppr = (use_device_ppr if use_device_ppr is not None
+                               else auto_dev)
+        self.device_ppr_batch = auto_batch
         self.tables: Dict[int, List[Optional[PPRTables]]] = {}
         # device subgraph cache (deterministic samplers only; the
         # reference's record/reuse machinery, minibatch.py:306-342).
@@ -473,7 +479,8 @@ class Trainer:
         t0 = time.time()
         if self.use_device_ppr:
             neighs, scores = ppr_mod.ppr_power_device(
-                indptr, indices, targets, k_tab, cfg.alpha)
+                indptr, indices, targets, k_tab, cfg.alpha,
+                batch=self.device_ppr_batch)
         else:
             neighs, scores = ppr_mod.ppr_push_host(
                 indptr, indices, targets, k_tab, cfg.alpha, cfg.epsilon)
