@@ -749,6 +749,12 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             params, opt_state, loss, logits, ovf = spmd_train_update(
                 model, opt, cfg_m, axis, params, opt_state, batches,
                 feats, labels_b, w_b, r_do, r_de)
+            if multi:
+                # every host's metric pass needs GLOBAL logits; the
+                # gather rides the same collective path as the
+                # per-batch step's
+                logits = jax.lax.all_gather(logits, axis, axis=0,
+                                            tiled=True)
             return (params, opt_state, rng), (loss, logits, ovf)
 
         (params, opt_state, _), (losses, logits, ovfs) = jax.lax.scan(
@@ -787,7 +793,8 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
             _inner_epoch, mesh=mesh,
             in_specs=(P(), P(), P(), P(None, axis), P(None, axis),
                       P(None, axis), P(None, axis)) + state_specs,
-            out_specs=(P(), P(), P(), P(None, axis), P()),
+            out_specs=(P(), P(), P(),
+                       P() if multi else P(None, axis), P()),
             check_vma=False,
         ))
 
@@ -824,10 +831,16 @@ def make_edgepart_train_step(trainer, mode: int, n_devices: int,
 
     def shard_batch(xs):
         if train and epoch_scan:
-            # whole-epoch arrays [nb, B, ...]: batch dim is SECOND
-            assert jax.process_count() == 1, \
-                "epoch_scan is single-process (use per-batch steps " \
-                "with process-local rows in multi-process jobs)"
+            # whole-epoch arrays [nb, B, ...]: batch dim is SECOND.
+            # Multi-process: each host feeds its process_slice of the
+            # batch columns and the global epoch array is assembled
+            # from the per-process shards — N hosts, ONE dispatch per
+            # epoch.
+            if jax.process_count() > 1:
+                from shadow_gnn_tpu.parallel import multihost as mh
+                return tuple(
+                    mh.process_local_epoch(mesh, np.asarray(x), axis)
+                    for x in xs)
             esh = NamedSharding(mesh, P(None, axis))
             return tuple(jax.device_put(x, esh) for x in xs)
         if jax.process_count() > 1:

@@ -101,6 +101,26 @@ def process_local_batch(mesh, x_local: np.ndarray, axis: str = "dp"):
                                                   np.asarray(x_local))
 
 
+def process_local_epoch(mesh, x_local: np.ndarray, axis: str = "dp"):
+    """Globally-sharded whole-epoch array ``[nb, B, ...]`` where the
+    BATCH dim (dim 1) is sharded over ``axis`` and each process
+    contributes only its local batch columns (``process_slice(B)`` of
+    every scan step).  This is the epoch-scan analog of
+    :func:`process_local_batch`: N hosts feed one monolithic
+    scan-over-batches program and pay ONE dispatch per epoch instead of
+    one per step."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    x_local = np.asarray(x_local)
+    spec = P(None, axis, *([None] * (x_local.ndim - 2)))
+    sharding = NamedSharding(mesh, spec)
+    global_shape = ((x_local.shape[0],
+                     x_local.shape[1] * jax.process_count())
+                    + x_local.shape[2:])
+    return jax.make_array_from_process_local_data(sharding, x_local,
+                                                  global_shape)
+
+
 def process_slice(n_rows_global: int) -> slice:
     """This process's row range of a globally ordered epoch array.
     Hosts shard the epoch's roots by contiguous range; with one process

@@ -194,6 +194,10 @@ class Trainer:
         self.partition = partition
         self.partition_devices = partition_devices
         self._partition_fns: Dict[int, Any] = {}
+        # device-program launches for partition TRAIN epochs (the
+        # epoch-scan path pays exactly ONE per epoch; per-batch paths
+        # pay nb)
+        self.partition_train_dispatches = 0
         self.feat_tab = jnp.asarray(
             self.feat_np,
             dtype=jnp.bfloat16 if feat_dtype == "bfloat16" else None)
@@ -1036,24 +1040,31 @@ class Trainer:
                 from shadow_gnn_tpu.parallel.edgepart import (
                     make_edgepart_train_step)
                 from shadow_gnn_tpu.parallel import multihost as mh
-                # single-process: one program per EPOCH (scan over
-                # batches — per-batch dispatches cost ~7ms each through
-                # the remote-TPU tunnel).  Multi-process: per-batch steps
-                # with process-local rows (every host feeds only its
-                # slice; logits come back replicated for the metric
-                # pass)
+                # one program per EPOCH (scan over batches — per-batch
+                # dispatches cost ~7ms each through the remote-TPU
+                # tunnel).  Multi-process too: every host feeds its
+                # process-local batch columns of the [nb, B, ...] epoch
+                # arrays and logits come back replicated for the metric
+                # pass
                 step, shard, repl = make_edgepart_train_step(
-                    self, mode, n, epoch_scan=not multi,
+                    self, mode, n, epoch_scan=True,
                     return_logits=multi,
                     mesh=mh.global_dp_mesh() if multi else None)
             self._partition_fns[mode] = (step, shard, repl)
         step, shard, repl = self._partition_fns[mode]
         params = repl(self.params)
         opt_state = repl(self.opt_state)
-        if self.partition == "edge" and not multi:
-            xs = shard((roots, rows, labels, w))
+        if self.partition == "edge":
+            if multi:
+                from shadow_gnn_tpu.parallel import multihost as mh
+                bsl = mh.process_slice(self.batch_size)
+                xs = shard(tuple(np.asarray(a)[:, bsl]
+                                 for a in (roots, rows, labels, w)))
+            else:
+                xs = shard((roots, rows, labels, w))
             params, opt_state, losses, logits, ovf = step(
                 params, opt_state, rng, *xs)
+            self.partition_train_dispatches += 1
             losses = np.asarray(losses)
             preds = np.asarray(predict_fn(self.model_cfg, logits))
             ovf = int(ovf)
@@ -1068,6 +1079,7 @@ class Trainer:
                                  for a in (roots, rows, labels, w)))
                 params, opt_state, loss, logits, ovf_b = step(
                     params, opt_state, jax.random.fold_in(rng, ib), *xs)
+                self.partition_train_dispatches += 1
                 losses.append(loss)
                 preds.append(np.asarray(predict_fn(self.model_cfg, logits)))
                 ovf += int(ovf_b)
