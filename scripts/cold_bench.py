@@ -67,6 +67,23 @@ PRESETS = {
         sampler=[{"method": "ppr", "phase": "train", "k": [200],
                   "epsilon": [1e-6]}],
         n_roots=8192),
+    # the papers100M north-star shape at 1/10 scale: 10M-node power-law
+    # proxy (hub degrees ~1e5 -> hub/rows induction), PPR k=400 with the
+    # leaderboard's score threshold, GAT-3 dim 800 heads 4 (the
+    # architecture of all three flagship published numbers).  No cache:
+    # every step samples + induces + trains.  Raw feature dim 128 =
+    # papers100M's.
+    "papers_nocache": dict(
+        task="node", num_nodes=10_000_000, avg_deg=12.0, num_feat=128,
+        power_law=True,
+        arch=dict(dim=800, aggr="gat", heads=4, loss="softmax",
+                  num_layers=3, act="prelu", feature_augment="hops",
+                  residue="max", pooling="max"),
+        hyper=dict(end=1, lr=2e-4, dropout=0.35, dropedge=0.1,
+                   batch_size=64),
+        sampler=[{"method": "ppr", "phase": "train", "k": [400],
+                  "threshold": [0.002], "epsilon": [1e-5]}],
+        n_roots=2048),
     # CPU smoke shape
     "smoke": dict(
         task="link", num_nodes=2_000, avg_deg=8.0, num_feat=16,
@@ -94,7 +111,8 @@ def build_trainer(p, platform_args):
     g = make_synthetic_dataset(num_nodes=p["num_nodes"],
                                avg_deg=p["avg_deg"],
                                num_feat=p["num_feat"], num_classes=7,
-                               seed=0, task=p["task"])
+                               seed=0, task=p["task"],
+                               power_law=p.get("power_law", False))
     if p["task"] == "node":
         g.node_set[TRAIN] = g.node_set[TRAIN][:p["n_roots"]]
     else:

@@ -101,6 +101,80 @@ sampler:
     epsilon: [1e-6]
 """
 
+# papers100M/leaderboard/gat_ppr.yml machinery (reference lines 1-28):
+# GAT-3 heads=4, prelu, residue max, max pooling, hops augment,
+# score-threshold PPR — the architecture behind all three flagship
+# published numbers, shrunk to dim 128 / k=50 for a 20k-node planted
+# graph (identical on BOTH sides, so the A/B comparison is unaffected).
+GAT_TRAIN_YML = """\
+data:
+  to_undirected: False
+  transductive: True
+architecture:
+  dim: 128
+  aggr: gat
+  heads: 4
+  loss: softmax
+  num_layers: 3
+  act: prelu
+  use_label: none
+  feature_smoothen: none
+  label_smoothen: none
+  feature_augment: hops
+  residue: max
+  pooling: max
+hyperparameter:
+  end: {end}
+  lr: 0.0005
+  dropout: 0.35
+  dropedge: 0.1
+  batch_size: 64
+sampler:
+  - method: ppr
+    phase: train
+    k: [50]
+    threshold: [0.002]
+    epsilon: [1e-5]
+"""
+
+# products/leaderboard/gat_5_ppr-2.yml machinery (reference lines 1-31):
+# use_label: no_valid + label_smoothen: ppr--concat-0.8 through a FULL
+# preprocess sampler, GAT + prelu + residue max / max pooling — shrunk
+# to 3 layers / dim 128 / k=50.  Exercises the preprocessing phase
+# (label one-hot -> APPNP smoothening -> feature concat) end to end on
+# both sides.
+SMOOTH_TRAIN_YML = """\
+data:
+  to_undirected: False
+  transductive: True
+architecture:
+  dim: 128
+  aggr: gat
+  heads: 4
+  loss: softmax
+  num_layers: 3
+  act: prelu
+  feature_augment: none
+  feature_smoothen: none
+  use_label: no_valid
+  label_smoothen: ppr--concat-0.8
+  residue: max
+  pooling: max
+hyperparameter:
+  end: {end}
+  lr: 0.001
+  dropout: 0.4
+  dropedge: 0.1
+  batch_size: 64
+sampler:
+  - method: full
+    phase: preprocess
+  - method: ppr
+    phase: train
+    k: [50]
+    epsilon: [1e-5]
+"""
+
 # collab/leaderboard/sage_ppr.yml machinery (reference lines 1-28):
 # stochastic-PPR sampler, DRNL augmentation, concat residue, sort-25
 # pooling, sigmoid loss — shrunk to 3 layers / k=100 / fewer epochs /
@@ -280,7 +354,8 @@ def run_reference(seed: int, epochs: int, dataset: str = "flickr",
     return acc
 
 
-def run_ours(seed: int, epochs: int) -> float:
+def _run_ours_node(seed: int, cfg: dict, tag: str,
+                   share_cache: bool = True) -> float:
     from shadow_gnn_tpu import TEST
     from shadow_gnn_tpu.data.loader import load_data
     from shadow_gnn_tpu.train.config import parse_config
@@ -291,6 +366,25 @@ def run_ours(seed: int, epochs: int) -> float:
     raw = load_data(os.path.join(WORK, "data"), "flickr",
                     {"to_undirected": False, "transductive": True,
                      "norm_feat": True})
+    parsed = parse_config(cfg)
+    metrics = Metrics("flickr", False, "accuracy", 1)
+    # dir_data points at the SHARED export: our PPR-cache discovery picks
+    # up the bin files the reference's C++ engine wrote (byte-compatible
+    # cache contract) — or writes ones the reference then reuses.
+    tr = Trainer("flickr",
+                 os.path.join(WORK, "data") if share_cache else "",
+                 raw, parsed, metrics,
+                 Logger(metrics, f"/tmp/ab_ours_{tag}_{seed}", no_log=True),
+                 seed=seed)
+    t0 = time.time()
+    tr.train()
+    acc = tr.logger.final_stats[TEST]["accuracy"]
+    print(f"[ours seed {seed}] test acc = {acc:.4f} "
+          f"({time.time() - t0:.0f}s)")
+    return acc
+
+
+def run_ours(seed: int, epochs: int) -> float:
     cfg = {
         "data": {"to_undirected": False, "transductive": True},
         "architecture": {
@@ -305,20 +399,50 @@ def run_ours(seed: int, epochs: int) -> float:
         "sampler": [{"method": "ppr", "phase": "train", "k": [200],
                      "epsilon": [1e-6]}],
     }
-    parsed = parse_config(cfg)
-    metrics = Metrics("flickr", False, "accuracy", 1)
-    # dir_data points at the SHARED export: our PPR-cache discovery picks
-    # up the bin files the reference's C++ engine wrote (byte-compatible
-    # cache contract) — or writes ones the reference then reuses.
-    tr = Trainer("flickr", os.path.join(WORK, "data"), raw, parsed, metrics,
-                 Logger(metrics, f"/tmp/ab_ours_{seed}", no_log=True),
-                 seed=seed)
-    t0 = time.time()
-    tr.train()
-    acc = tr.logger.final_stats[TEST]["accuracy"]
-    print(f"[ours seed {seed}] test acc = {acc:.4f} "
-          f"({time.time() - t0:.0f}s)")
-    return acc
+    return _run_ours_node(seed, cfg, "sage")
+
+
+def run_ours_gat(seed: int, epochs: int) -> float:
+    """Ours side of the GAT-3+PPR A/B (papers leaderboard semantics)."""
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {
+            "dim": 128, "aggr": "gat", "heads": 4, "loss": "softmax",
+            "num_layers": 3, "act": "prelu", "feature_augment": "hops",
+            "residue": "max", "pooling": "max",
+        },
+        "hyperparameter": {
+            "end": epochs, "lr": 0.0005, "dropout": 0.35,
+            "dropedge": 0.1, "batch_size": 64,
+        },
+        "sampler": [{"method": "ppr", "phase": "train", "k": [50],
+                     "threshold": [0.002], "epsilon": [1e-5]}],
+    }
+    return _run_ours_node(seed, cfg, "gat")
+
+
+def run_ours_smooth(seed: int, epochs: int) -> float:
+    """Ours side of the use_label + label-smoothen A/B (products
+    leaderboard preprocessing semantics)."""
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {
+            "dim": 128, "aggr": "gat", "heads": 4, "loss": "softmax",
+            "num_layers": 3, "act": "prelu", "feature_augment": "none",
+            "use_label": "no_valid", "label_smoothen": "ppr--concat-0.8",
+            "residue": "max", "pooling": "max",
+        },
+        "hyperparameter": {
+            "end": epochs, "lr": 0.001, "dropout": 0.4,
+            "dropedge": 0.1, "batch_size": 64,
+        },
+        "sampler": [{"method": "full", "phase": "preprocess"},
+                    {"method": "ppr", "phase": "train", "k": [50],
+                     "epsilon": [1e-5]}],
+    }
+    # no shared ppr bin cache: the smoothened features invalidate it on
+    # the reference side anyway (samplers_cpp.py:140-141)
+    return _run_ours_node(seed, cfg, "smooth", share_cache=False)
 
 
 def run_ours_link(seed: int, epochs: int) -> float:
@@ -375,10 +499,14 @@ def main():
                     choices=["all", "data", "ref", "ours"])
     ap.add_argument("--platform", default="cpu",
                     help="backend for OUR side (reference is torch cpu)")
-    ap.add_argument("--task", default="node", choices=["node", "link"],
+    ap.add_argument("--task", default="node",
+                    choices=["node", "link", "gat", "smoothen"],
                     help="node = flickr sage_3_ppr semantics; link = "
                          "collab leaderboard semantics (ppr_st + DRNL + "
-                         "sort pooling + hits@50)")
+                         "sort pooling + hits@50); gat = papers100M "
+                         "leaderboard GAT-3+PPR semantics; smoothen = "
+                         "products leaderboard use_label + "
+                         "label-smoothen preprocessing semantics")
     args = ap.parse_args()
 
     os.makedirs(WORK, exist_ok=True)
@@ -388,8 +516,14 @@ def main():
         f.write(TRAIN_YML.format(end=args.epochs))
     with open(os.path.join(WORK, "ab_link.yml"), "w") as f:
         f.write(LINK_TRAIN_YML.format(end=args.epochs))
+    with open(os.path.join(WORK, "ab_gat.yml"), "w") as f:
+        f.write(GAT_TRAIN_YML.format(end=args.epochs))
+    with open(os.path.join(WORK, "ab_smooth.yml"), "w") as f:
+        f.write(SMOOTH_TRAIN_YML.format(end=args.epochs))
 
     is_link = args.task == "link"
+    node_cfg_name = {"node": "ab_sage.yml", "gat": "ab_gat.yml",
+                     "smoothen": "ab_smooth.yml"}.get(args.task)
     metric = "hits50" if is_link else "accuracy"
     out = {"task": f"planted-SBM {args.task} A/B vs reference",
            "metric": metric, "nodes": args.nodes,
@@ -410,7 +544,8 @@ def main():
                     for s in range(args.seed_start,
                                    args.seed_start + args.seeds)]
         else:
-            accs = [run_reference(s, args.epochs)
+            accs = [run_reference(s, args.epochs,
+                                  cfg_name=node_cfg_name)
                     for s in range(args.seed_start,
                                    args.seed_start + args.seeds)]
         import numpy as np
@@ -427,7 +562,8 @@ def main():
                           os.path.join(REPO, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         import numpy as np
-        f_run = run_ours_link if is_link else run_ours
+        f_run = {"link": run_ours_link, "node": run_ours,
+                 "gat": run_ours_gat, "smoothen": run_ours_smooth}[args.task]
         accs = [f_run(s, args.epochs)
                 for s in range(args.seed_start,
                                args.seed_start + args.seeds)]
