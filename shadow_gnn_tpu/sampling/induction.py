@@ -327,6 +327,37 @@ def bfs_hops(adj: jax.Array, start_local: jax.Array, node_mask: jax.Array
     return dist
 
 
+def bfs_hops_multi(adj: jax.Array, starts_local: jax.Array,
+                   node_mask: jax.Array) -> jax.Array:
+    """Batched multi-source BFS: [B, S] start nodes -> [B, S, N] dists.
+
+    One while_loop advances ALL sources together (the frontier matvec is
+    a [B, S, N] x [B, N, N] einsum), so S sources cost max(levels)
+    sequential steps instead of the sum the per-source loops pay — the
+    DRNL double-BFS (Graph.cpp:32-73 run twice per subgraph) becomes one
+    batched program.  -1 marks unreachable/padded nodes.
+    """
+    _, n, _ = adj.shape
+    frontier = jax.nn.one_hot(starts_local, n, dtype=jnp.float32) > 0
+    dist = jnp.where(frontier, 0, -1)
+
+    def cond(c):
+        _, frontier, _ = c
+        return jnp.any(frontier)
+
+    def body(c):
+        dist, frontier, lvl = c
+        nxt = jnp.einsum("bsi,bij->bsj", frontier.astype(jnp.float32),
+                         adj) > 0
+        new = nxt & (dist < 0) & node_mask[:, None, :]
+        dist = jnp.where(new, lvl + 1, dist)
+        return dist, new, lvl + 1
+
+    dist, _, _ = jax.lax.while_loop(cond, body,
+                                    (dist, frontier, jnp.int32(0)))
+    return dist
+
+
 def drnl_labels(adj: jax.Array, targets: jax.Array, node_mask: jax.Array
                 ) -> jax.Array:
     """Double-radius node labels for 2-target (link) subgraphs.
@@ -334,8 +365,8 @@ def drnl_labels(adj: jax.Array, targets: jax.Array, node_mask: jax.Array
     Formula of Graph.cpp:66-73: unreachable (>=255) -> 255; else
     1 + min(dx,dy) + (d/2)*((d/2)+(d%2)-1) with d = dx+dy.
     """
-    dx = bfs_hops(adj, targets[:, 0], node_mask)
-    dy = bfs_hops(adj, targets[:, 1], node_mask)
+    d2 = bfs_hops_multi(adj, targets[:, :2], node_mask)
+    dx, dy = d2[:, 0], d2[:, 1]
     dx = jnp.where(dx < 0, 255, dx)
     dy = jnp.where(dy < 0, 255, dy)
     d = dx + dy
