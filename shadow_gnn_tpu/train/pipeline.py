@@ -65,6 +65,22 @@ def weighted_loss_fn(cfg: ModelConfig, logits, labels, weights):
     return num / jnp.clip(den, 1.0, None)
 
 
+# The rows-induction neighbor gather materializes [B, n_pad, R, 32]
+# int32, lane-padded 4x by the (8,128) tile layout — R*512 bytes per
+# member with R = (deg_cap-1)//32 + 2.  Sizing choices whose gather
+# would exceed this budget (at the larger of the train batch / the
+# cache-build chunk) are rejected: an unguarded deg_cap = scope_max on
+# a power-law graph is a 20 GB allocation at the products shape.
+ROWS_GATHER_BUDGET = 2 * 1024**3
+
+
+def rows_gather_bytes(batch: int, n_pad: int, deg_cap: int) -> int:
+    """HBM footprint of membership_matrix_rows' block gather
+    (induction.py:282, lane padding included)."""
+    r_blocks = (deg_cap - 1) // 32 + 2
+    return batch * n_pad * r_blocks * 512
+
+
 def bucket_cap(n: int) -> int:
     """Round an induction capacity up to a shared bucket (~12% geometric
     steps, multiples of 64).
@@ -343,7 +359,11 @@ class Trainer:
                     deg = np.diff(self._host_adj[m][0]).astype(np.float64)
                     max_deg = float(deg.max()) if deg.size else 1.0
                     mean_deg = float(deg.mean()) if deg.size else 1.0
-                    if self.undirected and max_deg > 8 * mean_deg:
+                    over_budget = rows_gather_bytes(
+                        max(self.batch_size, 256), n_pad,
+                        int(max_deg)) > ROWS_GATHER_BUDGET
+                    if self.undirected and (max_deg > 8 * mean_deg
+                                            or over_budget):
                         # power-law graph: cap the per-member row width
                         # and route hub members through the pairwise
                         # search table; overflow is monitored per epoch
@@ -426,15 +446,21 @@ class Trainer:
                                 root_deg.max() if root_deg.size else 1, 1))
             choices = sorted({d for d in (64, 128, 256, 512, 1024, 2048)
                               if d < scope_max} | {scope_max})
+            gbatch = max(self.batch_size, 256)
+            choices = [d for d in choices
+                       if rows_gather_bytes(gbatch, cfg.n_pad, d)
+                       <= ROWS_GATHER_BUDGET] or [choices[0]]
             best = None
             for dc in choices:
                 h_rows = (scope_deg > dc).sum(1) + (root_deg > dc)
                 h_max = int(h_rows.max())
                 # cost model (per subgraph, ns-ish units): the fused
                 # row compare is n_pad^2 x deg_cap VPU compares
-                # (~2.4e12/s); each hub pair costs a ~24-step binary
-                # search of ~100ns element gathers
+                # (~2.4e12/s); the block gather streams R*512
+                # bytes/member at ~819 GB/s; each hub pair costs a
+                # ~24-step binary search of ~100ns element gathers
                 cost = cfg.n_pad * cfg.n_pad * dc / 2400 \
+                    + rows_gather_bytes(1, cfg.n_pad, dc) / 819 \
                     + 2400 * (h_max * self.num_targets) ** 2
                 if best is None or cost < best[0]:
                     best = (cost, dc, h_max)
