@@ -174,6 +174,227 @@ def convert2shadow(name_data: str, prefix: str,
     return convert_ogb_link(prefix, name_data)
 
 
+# ---------------------------------------------------------------------------
+# Zero-egress archive ingestion (--data_tarball).
+#
+# The environment has no network, so OGB downloads
+# (``convert_ogb_node/link``) can never run; the reference assumes a
+# machine that can reach snap.stanford.edu.  This hook accepts a
+# user-provided archive of any of the three distributions and produces
+# the same shaDow directory the downloader would have:
+#
+#   * shaDow layout      — adj_full_raw.np[yz] + feat_full.npy + ... :
+#                          files are copied through unchanged;
+#   * GraphSAINT layout  — adj_full.npz/adj_train.npz/feats.npy/
+#                          class_map.json/role.json (flickr/reddit/yelp);
+#   * OGB raw layout     — raw/edge.csv.gz (+ node-feat/node-label/
+#                          num-node-list) or raw/data.npz, with
+#                          split/<type>/{train,valid,test}.{csv.gz,pt,npz}
+#                          — parsed directly with numpy/torch, NO ``ogb``
+#                          package needed.
+# ---------------------------------------------------------------------------
+
+
+def _extract_archive(tarball: str, staging: str) -> str:
+    import tarfile
+    import zipfile
+    os.makedirs(staging, exist_ok=True)
+    if zipfile.is_zipfile(tarball):
+        with zipfile.ZipFile(tarball) as z:
+            z.extractall(staging)
+    else:
+        with tarfile.open(tarball) as t:
+            t.extractall(staging, filter="data")
+    return staging
+
+
+def _find_dir_with(root: str, filenames) -> Optional[str]:
+    """Innermost directory containing ALL of ``filenames`` (any of the
+    alternatives when an entry is a tuple)."""
+    for d, _, files in sorted(os.walk(root)):
+        fs = set(files)
+        ok = True
+        for f in filenames:
+            alts = f if isinstance(f, tuple) else (f,)
+            if not any(a in fs for a in alts):
+                ok = False
+                break
+        if ok:
+            return d
+    return None
+
+
+def _read_csv_gz(path: str, dtype) -> np.ndarray:
+    """Numeric CSV (possibly .gz) -> ndarray, no pandas dependency."""
+    import gzip
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        txt = f.read()
+    ncol = txt[:txt.find("\n")].count(",") + 1
+    flat = np.array(txt.replace(",", " ").split(), np.float64)
+    arr = flat.reshape(-1, ncol) if ncol > 1 else flat
+    return arr.astype(dtype)
+
+
+def _read_split_file(path: str) -> np.ndarray:
+    if path.endswith((".csv.gz", ".csv")):
+        return _read_csv_gz(path, np.int64).reshape(-1)
+    if path.endswith(".npz") or path.endswith(".npy"):
+        z = np.load(path, allow_pickle=True)
+        return np.asarray(z[z.files[0]] if hasattr(z, "files") else z,
+                          np.int64).reshape(-1)
+    raise ValueError(f"unsupported split file {path}")
+
+
+def _find_split_dir(root: str):
+    """OGB split dir: split/<split_type>/ holding train.* files."""
+    for d, _, files in sorted(os.walk(root)):
+        if os.path.basename(d) == "raw":
+            continue
+        if any(f.startswith("train.") for f in files) and \
+                any(f.startswith("valid.") for f in files) and \
+                any(f.startswith("test.") for f in files):
+            return d
+    return None
+
+
+def _ingest_ogb_raw(prefix: str, name: str, raw_dir: str, split_dir: str,
+                    task: str):
+    """Parse an extracted OGB raw/ + split/ tree without the ogb pkg."""
+    npz_path = os.path.join(raw_dir, "data.npz")
+    if os.path.isfile(npz_path):
+        z = np.load(npz_path)
+        edge = np.asarray(z["edge_index"], np.int64)
+        src, dst = edge[0], edge[1]
+        feat = np.asarray(z["node_feat"], np.float32) \
+            if "node_feat" in z.files else None
+        n = int(z["num_nodes_list"][0]) if "num_nodes_list" in z.files \
+            else int(max(src.max(), dst.max()) + 1)
+        label = None
+        lab_npz = os.path.join(raw_dir, "node-label.npz")
+        if "node_label" in z.files:
+            label = np.asarray(z["node_label"]).squeeze()
+        elif os.path.isfile(lab_npz):
+            lz = np.load(lab_npz)
+            label = np.asarray(lz[lz.files[0]]).squeeze()
+    else:
+        edge = _read_csv_gz(_first_existing(raw_dir, "edge.csv.gz",
+                                            "edge.csv"), np.int64)
+        src, dst = edge[:, 0], edge[:, 1]
+        nn = _first_existing(raw_dir, "num-node-list.csv.gz",
+                             "num-node-list.csv", required=False)
+        n = int(_read_csv_gz(nn, np.int64).reshape(-1)[0]) if nn \
+            else int(max(src.max(), dst.max()) + 1)
+        ff = _first_existing(raw_dir, "node-feat.csv.gz", "node-feat.csv",
+                             required=False)
+        feat = _read_csv_gz(ff, np.float32).reshape(n, -1) if ff else None
+        lf = _first_existing(raw_dir, "node-label.csv.gz", "node-label.csv",
+                             required=False)
+        label = _read_csv_gz(lf, np.float64).squeeze() if lf else None
+    if feat is None:
+        feat = np.zeros((n, 1), np.float32)   # featureless (e.g. ppa)
+    indptr, indices = _coo_to_csr(src, dst, n)
+
+    def split_file(base):
+        for ext in (".csv.gz", ".csv", ".pt", ".npz", ".npy"):
+            p = os.path.join(split_dir, base + ext)
+            if os.path.isfile(p):
+                return p
+        raise FileNotFoundError(f"{split_dir}/{base}.*")
+
+    if task == "node":
+        if label is not None and label.ndim == 1:
+            label = np.nan_to_num(label, nan=-1).astype(np.int64)
+        node_set = {m: _read_split_file(split_file(b)) for m, b in
+                    ((TRAIN, "train"), (VALID, "valid"), (TEST, "test"))}
+        return fmt.save_shadow_format(prefix, name, indptr=indptr,
+                                      indices=indices, feat=feat,
+                                      label=label, node_set=node_set)
+    # link task: splits are torch pickles {edge: [E,2], edge_neg: ...}
+    import torch
+    sp = {b: torch.load(split_file(b), map_location="cpu",
+                        weights_only=False)
+          for b in ("train", "valid", "test")}
+
+    def edges(d, key):
+        e = d[key]
+        return np.asarray(e.numpy() if hasattr(e, "numpy") else e, np.int64)
+
+    edge_set = {
+        TRAIN: {"pos": edges(sp["train"], "edge")},
+        VALID: {"pos": edges(sp["valid"], "edge"),
+                "neg": edges(sp["valid"], "edge_neg")},
+        TEST: {"pos": edges(sp["test"], "edge"),
+               "neg": edges(sp["test"], "edge_neg")},
+    }
+    val = edge_set[VALID]["pos"]
+    src_wv = np.concatenate([src, val[:, 0], val[:, 1]])
+    dst_wv = np.concatenate([dst, val[:, 1], val[:, 0]])
+    key = np.unique(src_wv * n + dst_wv)
+    indptr_wv, indices_wv = _coo_to_csr(key // n, key % n, n)
+    return fmt.save_shadow_format(prefix, name, indptr=indptr,
+                                  indices=indices, feat=feat, label=None,
+                                  edge_set=edge_set,
+                                  indptr_with_val=indptr_wv,
+                                  indices_with_val=indices_wv)
+
+
+def _first_existing(d: str, *names, required: bool = True):
+    for nm in names:
+        p = os.path.join(d, nm)
+        if os.path.isfile(p):
+            return p
+    if required:
+        raise FileNotFoundError(f"none of {names} under {d}")
+    return None
+
+
+def ingest_tarball(tarball: str, name_data: str, prefix: str,
+                   staging: Optional[str] = None) -> str:
+    """Ingest a user-provided dataset archive (zero egress) and
+    materialize ``<prefix>/<name_data>/`` in shaDow format.
+
+    Auto-detects the archive's distribution layout; see module comment.
+    Returns the dataset directory.
+    """
+    assert name_data in DATA_ZOO, f"unknown dataset {name_data}"
+    import shutil
+    import tempfile
+    own_staging = staging is None
+    staging = staging or tempfile.mkdtemp(prefix="shadow_ingest_")
+    try:
+        _extract_archive(tarball, staging)
+        out_dir = f"{prefix}/{name_data}"
+        # 1) already shaDow: copy files through
+        d = _find_dir_with(staging, [("adj_full_raw.npy", "adj_full_raw.npz"),
+                                     "feat_full.npy", "split.npy"])
+        if d:
+            os.makedirs(out_dir, exist_ok=True)
+            for f in os.listdir(d):
+                src_p = os.path.join(d, f)
+                if os.path.isfile(src_p):
+                    shutil.copy2(src_p, os.path.join(out_dir, f))
+            return out_dir
+        # 2) GraphSAINT
+        d = _find_dir_with(staging, ["adj_full.npz", "feats.npy",
+                                     "class_map.json", "role.json"])
+        if d:
+            return convert_saint(prefix, name_data, d)
+        # 3) OGB raw
+        raw = _find_dir_with(staging, [("edge.csv.gz", "edge.csv",
+                                        "data.npz")])
+        split_dir = _find_split_dir(staging)
+        if raw and split_dir:
+            task = DATA_ZOO[name_data]["ALL"].prediction_task
+            return _ingest_ogb_raw(prefix, name_data, raw, split_dir, task)
+        raise ValueError(
+            f"{tarball}: no recognizable dataset layout (need shaDow, "
+            f"GraphSAINT, or OGB raw files)")
+    finally:
+        if own_staging:
+            shutil.rmtree(staging, ignore_errors=True)
+
+
 def _main(argv=None):
     import argparse
     p = argparse.ArgumentParser(
@@ -183,8 +404,14 @@ def _main(argv=None):
                    help="data dir; output goes to <prefix>/<dataset>/")
     p.add_argument("--saint_dir", default=None,
                    help="GraphSAINT distribution dir (flickr/reddit/yelp)")
+    p.add_argument("--tarball", default=None,
+                   help="ingest a local dataset archive (shaDow/GraphSAINT"
+                        "/OGB-raw layout) instead of downloading")
     a = p.parse_args(argv)
-    out = convert2shadow(a.dataset, a.prefix, saint_dir=a.saint_dir)
+    if a.tarball:
+        out = ingest_tarball(a.tarball, a.dataset, a.prefix)
+    else:
+        out = convert2shadow(a.dataset, a.prefix, saint_dir=a.saint_dir)
     print(f"converted {a.dataset} -> {out}")
 
 

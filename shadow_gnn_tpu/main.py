@@ -74,6 +74,11 @@ def build_argparser():
                    help="fused Pallas masked-attention kernel for "
                         "gat/gatscat (keeps the [B,N,N,H] score chain "
                         "in VMEM)")
+    p.add_argument("--data_tarball", type=str, default=None,
+                   help="ingest a user-provided dataset archive (shaDow/"
+                        "GraphSAINT/OGB-raw layout; zero egress) into "
+                        "<data_dir>/<dataset>/ before loading, if the "
+                        "dataset files are not already present")
     p.add_argument("--meta_config", type=str, default=None,
                    help="machine meta-config yml (reference CONFIG.yml "
                         "schema: data/logging dirs, per-dataset metric)")
@@ -186,6 +191,15 @@ def main(argv=None):
                     term_window_aggr=parsed["params_train"]["term_window_aggr"],
                     timestamp=timestamp, no_log=args.no_log,
                     config_dump=raw_cfg_dump)
+    if args.data_tarball:
+        from shadow_gnn_tpu.data.converter import DATA_ZOO, ingest_tarball
+        spec = DATA_ZOO.get(args.dataset)
+        have = spec is not None and spec["ALL"].have_all_files(
+            args.data_dir, args.dataset)
+        if not have:
+            print(f"ingesting {args.data_tarball} -> "
+                  f"{args.data_dir}/{args.dataset}")
+            ingest_tarball(args.data_tarball, args.dataset, args.data_dir)
     raw = load_data(args.data_dir, args.dataset, parsed["config_data"])
     use_device_ppr = {"auto": None, "device": True, "host": False}[args.device_ppr]
     trainer = Trainer(args.dataset, args.data_dir, raw, parsed, metrics,

@@ -144,6 +144,134 @@ def test_saint_converter_roundtrip(tmp_path):
     assert raw.node_set[TRAIN].size == 30
 
 
+def _tar_dir(src_dir, out_path):
+    import tarfile
+    with tarfile.open(out_path, "w:gz") as t:
+        t.add(src_dir, arcname=os.path.basename(src_dir))
+    return str(out_path)
+
+
+def test_tarball_ingest_shadow_layout(tmp_path):
+    """--data_tarball with an already-shaDow archive: files copied."""
+    from shadow_gnn_tpu.data.converter import ingest_tarball
+    from shadow_gnn_tpu.data.format import save_shadow_format
+    from shadow_gnn_tpu.data.loader import load_data
+    from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
+    g = make_synthetic_dataset(num_nodes=60, avg_deg=4, num_feat=5,
+                               num_classes=3, seed=0)
+    save_shadow_format(str(tmp_path / "stage"), "flickr",
+                       indptr=g.indptr_full, indices=g.indices_full,
+                       feat=g.feat_full, label=g.label_full,
+                       node_set=g.node_set)
+    tb = _tar_dir(str(tmp_path / "stage" / "flickr"),
+                  tmp_path / "flickr.tar.gz")
+    out = ingest_tarball(tb, "flickr", str(tmp_path / "data"))
+    raw = load_data(str(tmp_path / "data"), "flickr",
+                    {"to_undirected": False, "transductive": True})
+    assert raw.num_nodes == 60 and out.endswith("flickr")
+
+
+def test_tarball_ingest_saint_layout(tmp_path):
+    import scipy.sparse as sp
+    import json
+    from shadow_gnn_tpu.data.converter import ingest_tarball
+    from shadow_gnn_tpu.data.loader import load_data
+    rng = np.random.default_rng(0)
+    n = 40
+    a = sp.random(n, n, density=0.15, format="csr", random_state=1)
+    a = ((a + a.T) > 0).astype(bool)
+    sd = tmp_path / "saint_pkg"
+    os.makedirs(sd)
+    sp.save_npz(sd / "adj_full.npz", a.tocsr())
+    sp.save_npz(sd / "adj_train.npz", a.tocsr())
+    np.save(sd / "feats.npy", rng.normal(size=(n, 4)).astype(np.float32))
+    json.dump({str(i): int(i % 3) for i in range(n)},
+              open(sd / "class_map.json", "w"))
+    json.dump({"tr": list(range(0, 20)), "va": list(range(20, 30)),
+               "te": list(range(30, 40))}, open(sd / "role.json", "w"))
+    tb = _tar_dir(str(sd), tmp_path / "reddit.tar.gz")
+    ingest_tarball(tb, "reddit", str(tmp_path / "data"))
+    raw = load_data(str(tmp_path / "data"), "reddit",
+                    {"to_undirected": False, "transductive": True})
+    assert raw.num_nodes == n and raw.node_set[TRAIN].size == 20
+
+
+def test_tarball_ingest_ogb_node_csv(tmp_path):
+    """OGB raw CSV layout parsed with numpy (no ogb package)."""
+    import gzip
+    from shadow_gnn_tpu.data.converter import ingest_tarball
+    from shadow_gnn_tpu.data.loader import load_data
+    rng = np.random.default_rng(1)
+    n, e = 30, 120
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    pkg = tmp_path / "arxiv_pkg"
+    raw_d = pkg / "raw"
+    split_d = pkg / "split" / "time"
+    os.makedirs(raw_d), os.makedirs(split_d)
+
+    def wcsv(path, arr):
+        with gzip.open(path, "wt") as f:
+            for row in np.atleast_2d(arr.T).T if arr.ndim == 1 else arr:
+                f.write(",".join(str(x) for x in np.atleast_1d(row)) + "\n")
+
+    wcsv(raw_d / "edge.csv.gz", np.stack([src, dst], 1))
+    wcsv(raw_d / "num-node-list.csv.gz", np.array([n]))
+    wcsv(raw_d / "node-feat.csv.gz",
+         np.round(rng.normal(size=(n, 3)), 4))
+    wcsv(raw_d / "node-label.csv.gz", rng.integers(0, 4, n))
+    wcsv(split_d / "train.csv.gz", np.arange(0, 18))
+    wcsv(split_d / "valid.csv.gz", np.arange(18, 24))
+    wcsv(split_d / "test.csv.gz", np.arange(24, 30))
+    tb = _tar_dir(str(pkg), tmp_path / "arxiv.tar.gz")
+    ingest_tarball(tb, "arxiv", str(tmp_path / "data"))
+    raw = load_data(str(tmp_path / "data"), "arxiv",
+                    {"to_undirected": False, "transductive": True})
+    assert raw.num_nodes == n
+    assert raw.feat_full.shape == (n, 3)
+    assert raw.node_set[VALID].size == 6
+
+
+def test_tarball_ingest_ogb_link_pt(tmp_path):
+    """OGB link layout: edge CSV + torch-pickled splits (collab)."""
+    import gzip
+    import torch
+    from shadow_gnn_tpu.data.converter import ingest_tarball
+    from shadow_gnn_tpu.data.loader import load_data
+    rng = np.random.default_rng(2)
+    n, e = 25, 80
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    pkg = tmp_path / "collab_pkg"
+    raw_d = pkg / "raw"
+    split_d = pkg / "split" / "time"
+    os.makedirs(raw_d), os.makedirs(split_d)
+    with gzip.open(raw_d / "edge.csv.gz", "wt") as f:
+        for s, d in zip(src, dst):
+            f.write(f"{s},{d}\n")
+    with gzip.open(raw_d / "num-node-list.csv.gz", "wt") as f:
+        f.write(f"{n}\n")
+    with gzip.open(raw_d / "node-feat.csv.gz", "wt") as f:
+        for row in rng.normal(size=(n, 2)):
+            f.write(f"{row[0]:.4f},{row[1]:.4f}\n")
+
+    def edges(k):
+        return torch.tensor(rng.integers(0, n, (k, 2)))
+
+    torch.save({"edge": edges(30)}, split_d / "train.pt")
+    torch.save({"edge": edges(8), "edge_neg": edges(8)},
+               split_d / "valid.pt")
+    torch.save({"edge": edges(8), "edge_neg": edges(8)},
+               split_d / "test.pt")
+    tb = _tar_dir(str(pkg), tmp_path / "collab.tar.gz")
+    ingest_tarball(tb, "collab", str(tmp_path / "data"))
+    raw = load_data(str(tmp_path / "data"), "collab",
+                    {"to_undirected": False, "transductive": True})
+    assert raw.num_nodes == n
+    assert raw.edge_set[TRAIN]["pos"].shape == (30, 2)
+    assert raw.edge_set[TEST]["neg"].shape == (8, 2)
+
+
 def test_loader_autoconvert_dispatch(tmp_path):
     """Missing dataset dir: known datasets route to the converter
     (reference loader.py:42-43); unknown names fail with the plain
