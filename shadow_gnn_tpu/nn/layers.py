@@ -370,9 +370,15 @@ class GATConv(_ConvBase):
                          (2, h, dh))
         scale, offset = self._norm_params((2, h, dh))
         import os as _os
-        _layout = _os.environ.get("SHADOW_GAT_LAYOUT", "flat")
+        # 'hybrid' (4-D scores/norm + head-major kernel) measured 22.23 /
+        # 31.72 ms at the products/papers leaderboard shapes vs 25.02 /
+        # 35.71 for the all-flat variant — the [h*dh, h] indicator
+        # matmuls the flat path adds cost more than the layout copies
+        # they remove at every measured shape (BENCH.md round 4), so
+        # hybrid is the default and 'flat' stays as the A/B arm.
+        _layout = _os.environ.get("SHADOW_GAT_LAYOUT", "hybrid")
         if self.fused_att and _layout == "hybrid":
-            # hybrid A/B path (perf experiment): 4-D scores/norm like the
+            # hybrid: 4-D scores/norm like the
             # dense branch, head-major kernel via the node-major wrapper
             from shadow_gnn_tpu.ops.pallas_gat import gat_attention
             h_self = h_self_f.reshape(b, n, h, dh)

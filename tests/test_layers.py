@@ -302,9 +302,11 @@ def test_norm_feat_grouped_matches_4d():
             rtol=1e-4, atol=1e-5, err_msg=nm)
 
 
-def test_gat_fused_flat_grads_match_dense():
-    """The flat fused GATConv path's parameter grads == the dense
+@pytest.mark.parametrize("layout", ["flat", "hybrid"])
+def test_gat_fused_flat_grads_match_dense(layout, monkeypatch):
+    """Both fused GATConv layouts' parameter grads == the dense
     4-D chain's (same params, same cotangent)."""
+    monkeypatch.setenv("SHADOW_GAT_LAYOUT", layout)
     rng = np.random.default_rng(12)
     b, n, f = 2, 16, 12
     adj = (rng.random((b, n, n)) < 0.35).astype(np.float32)
