@@ -74,6 +74,14 @@ def build_argparser():
                    help="fused Pallas masked-attention kernel for "
                         "gat/gatscat (keeps the [B,N,N,H] score chain "
                         "in VMEM)")
+    # reference-CLI compat no-ops (globals.py flags a migrating user's
+    # launch scripts will pass): progress bars don't exist here, and
+    # device selection is JAX-native (--platform)
+    p.add_argument("--no_pbar", action="store_true",
+                   help="accepted for reference-CLI compatibility (no-op)")
+    p.add_argument("--gpu", type=int, default=None,
+                   help="accepted for reference-CLI compatibility; use "
+                        "--platform to pick the backend")
     p.add_argument("--data_tarball", type=str, default=None,
                    help="ingest a user-provided dataset archive (shaDow/"
                         "GraphSAINT/OGB-raw layout; zero egress) into "
