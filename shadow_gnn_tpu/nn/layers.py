@@ -99,11 +99,21 @@ class TorchLinear(nn.Module):
 
     features: int
     use_bias: bool = True
+    # >0: emit the head-major [..., H, N, features/H] layout straight
+    # from the MXU (kernel viewed [f_in, H, dh]) instead of the flat
+    # [..., N, features] — same parameters, checkpoint-compatible.
+    head_major: int = 0
 
     @nn.compact
     def __call__(self, x):
         w = self.param("kernel", torch_linear_init, (x.shape[-1], self.features))
-        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+        if self.head_major > 0:
+            h = self.head_major
+            w3 = w.reshape(x.shape[-1], h, self.features // h)
+            y = jnp.einsum("...nf,fhd->...hnd", x, w3.astype(x.dtype),
+                           preferred_element_type=x.dtype)
+        else:
+            y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
         if self.use_bias:
             fan_in = x.shape[-1]
 
@@ -111,8 +121,10 @@ class TorchLinear(nn.Module):
                 bound = 1.0 / jnp.sqrt(fan_in)
                 return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-            y = y + self.param("bias", bias_init,
-                               (self.features,)).astype(y.dtype)
+            b = self.param("bias", bias_init, (self.features,)).astype(y.dtype)
+            if self.head_major > 0:
+                b = b.reshape(self.head_major, 1, -1)
+            y = y + b
         return y
 
 
@@ -178,14 +190,25 @@ def _norm_feat_fwd(feat, scale, offset):
     return out, (feat, scale, mean, inv)
 
 
+def _reduce_to(x: jax.Array, shape) -> jax.Array:
+    """Sum ``x`` down to a broadcast-compatible ``shape`` (leading axes
+    plus any size-1 broadcast axes, e.g. the head-major [h, 1, dh]
+    scale layout)."""
+    red = tuple(range(x.ndim - len(shape)))
+    x = x.sum(red)
+    axes = tuple(i for i, s in enumerate(shape) if s == 1 and x.shape[i] != 1)
+    if axes:
+        x = x.sum(axes, keepdims=True)
+    return x.reshape(shape)
+
+
 def _norm_feat_bwd(res, g):
     feat, scale, mean, inv = res
     f32 = feat.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     xhat = (f32 - mean) * inv
-    red = tuple(range(g32.ndim - len(scale.shape)))
-    dscale = (g32 * xhat).sum(red).reshape(scale.shape)
-    doffset = g32.sum(red).reshape(scale.shape)
+    dscale = _reduce_to(g32 * xhat, scale.shape)
+    doffset = _reduce_to(g32, scale.shape)
     gs = g32 * scale
     dx = inv * (gs - gs.mean(-1, keepdims=True)
                 - xhat * (gs * xhat).mean(-1, keepdims=True))
@@ -363,12 +386,6 @@ class GATConv(_ConvBase):
         assert self.dim_out % h == 0
         x = self._dropout(feat, train)
         b, n, _ = x.shape
-        h_self_f = f(TorchLinear(self.dim_out)(x))          # [b, n, h*dh]
-        h_neigh_f = f(TorchLinear(self.dim_out)(x))
-        # attention params: [2, heads, dh] xavier-uniform (layers.py:557-558)
-        att = self.param("attention", nn.initializers.glorot_uniform(),
-                         (2, h, dh))
-        scale, offset = self._norm_params((2, h, dh))
         import os as _os
         # 'hybrid' (4-D scores/norm + head-major kernel) measured 22.23 /
         # 31.72 ms at the products/papers leaderboard shapes vs 25.02 /
@@ -376,7 +393,43 @@ class GATConv(_ConvBase):
         # matmuls the flat path adds cost more than the layout copies
         # they remove at every measured shape (BENCH.md round 4), so
         # hybrid is the default and 'flat' stays as the A/B arm.
+        # 'headmajor' keeps every activation in the kernel's native
+        # [b, h, n, dh] layout from the transform einsum to the output
+        # combine — one repack per layer instead of per tensor.
         _layout = _os.environ.get("SHADOW_GAT_LAYOUT", "hybrid")
+        use_hm = (self.fused_att and _layout == "headmajor"
+                  and self.act != "prelu+" and self.norm != "pairnorm")
+        h_self_f = f(TorchLinear(self.dim_out,
+                                 head_major=h if use_hm else 0)(x))
+        h_neigh_f = f(TorchLinear(self.dim_out,
+                                  head_major=h if use_hm else 0)(x))
+        # attention params: [2, heads, dh] xavier-uniform (layers.py:557-558)
+        att = self.param("attention", nn.initializers.glorot_uniform(),
+                         (2, h, dh))
+        scale, offset = self._norm_params((2, h, dh))
+        if use_hm:
+            # h_self_f/h_neigh_f are [b, h, n, dh] here
+            from shadow_gnn_tpu.ops.pallas_gat import gat_attention_hm
+            att_self = jax.nn.leaky_relu(
+                jnp.einsum("bhnd,hd->bhn", h_self_f, att[0]), 0.2)
+            att_neigh = jax.nn.leaky_relu(
+                jnp.einsum("bhnd,hd->bhn", h_neigh_f, att[1]), 0.2)
+            bf16 = (jax.config.jax_default_matmul_precision
+                    in ("bfloat16", "tensorfloat32")
+                    or h_neigh_f.dtype == jnp.bfloat16)
+            vals = h_neigh_f if bf16 else h_neigh_f.astype(jnp.float32)
+            aggr = gat_attention_hm(
+                att_self.astype(jnp.float32), att_neigh.astype(jnp.float32),
+                vals, adj_norm.astype(jnp.float32),
+                adj_struct.astype(jnp.float32), bf16, bf16).astype(x.dtype)
+            h_self_hm = h_self_f
+            if self.norm != "none":
+                aggr = norm_feat(aggr, scale[0][:, None, :],
+                                 offset[0][:, None, :])
+                h_self_hm = norm_feat(h_self_hm, scale[1][:, None, :],
+                                      offset[1][:, None, :])
+            out = (h_self_hm + aggr) / 2.0
+            return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, -1)
         if self.fused_att and _layout == "hybrid":
             # hybrid: 4-D scores/norm like the
             # dense branch, head-major kernel via the node-major wrapper

@@ -302,7 +302,7 @@ def test_norm_feat_grouped_matches_4d():
             rtol=1e-4, atol=1e-5, err_msg=nm)
 
 
-@pytest.mark.parametrize("layout", ["flat", "hybrid"])
+@pytest.mark.parametrize("layout", ["flat", "hybrid", "headmajor"])
 def test_gat_fused_flat_grads_match_dense(layout, monkeypatch):
     """Both fused GATConv layouts' parameter grads == the dense
     4-D chain's (same params, same cotangent)."""
