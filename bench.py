@@ -71,8 +71,12 @@ def main():
     if not device_ok:
         jax.config.update("jax_platforms", "cpu")
     # persistent XLA compile cache: first-ever run pays the (multi-minute)
-    # epoch-program compile; subsequent runs reuse it
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # epoch-program compile; subsequent runs reuse it.  SHADOW_JAX_CACHE
+    # overrides the dir (point it at an empty tmpdir to measure the
+    # fresh-compile cost, scripts/compile_bench.py-style)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("SHADOW_JAX_CACHE",
+                                     "/root/repo/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
