@@ -121,37 +121,31 @@ def plan_device_ppr(num_nodes: int, num_edges: int, platform: str,
                     hbm_bytes: Optional[int],
                     want_batch: int = 512, min_batch: int = 256
                     ) -> Tuple[bool, int]:
-    """HBM-aware auto-selection between :func:`ppr_power_device` and the
-    native host push.
+    """Auto-selection between :func:`ppr_power_device` and the native
+    host push: always the push.
 
-    The power iteration's working set is ~4 live ``[N, batch]`` f32
-    blocks (one-hot seeds, the iterate, the SpMM message, plus XLA's
-    scan double-buffer) on top of the edge arrays (src/dst int32 + w
-    f32 = 12 bytes/edge).  Without a guard the round-3 heuristic
-    ("any graph >200k nodes on an accelerator") would OOM any >~2M-node
-    TPU run: a 10M-node proxy needs ~82 GB at batch 512 vs 16 GB v5e
-    HBM.  This planner fits the batch into half the device memory and
-    falls back to the native push when the batch would have to shrink
-    below ``min_batch`` — below that, the 50 full-edge SpMM sweeps per
-    block lose their amortization and the per-target push wins anyway.
+    Measured round 4 (v5e, 250k-node power-law proxy): the device power
+    iteration precomputes ~44-90 targets/s — its per-iteration
+    ``segment_sum`` scatter serializes on TPU — while the round-3
+    lazy-heap native push does 3,318 targets/s on a 40x bigger graph
+    (BENCH.md).  The device path predates the push rewrite (round-3
+    host push was ~450/s at scale and the [N, B] SpMM blocks won);
+    after it, the push wins at every measured size, so the planner
+    returns host unconditionally.  ``ppr_power_device`` stays available
+    via ``use_device_ppr=True`` (Trainer) / ``--device_ppr device``.
+
+    The returned batch is still HBM-fitted for callers that force the
+    device path: ~4 live [N, batch] f32 blocks + 12 B/edge arrays must
+    fit half the device memory (an unguarded batch=512 at 10M nodes is
+    an ~82 GB ask on a 16 GB chip).
 
     Returns ``(use_device, batch)``.
     """
-    if platform == "cpu" or num_nodes <= 200_000:
-        # small graphs: per-target push is fast enough and avoids
-        # burning device time; CPU backend: the [N, batch] dense
-        # iterates are pathological there.
-        return False, want_batch
     budget = 0.5 * float(hbm_bytes if hbm_bytes else 16 << 30)
     avail = budget - 12.0 * num_edges
-    if avail <= 0:
-        return False, want_batch
-    b_max = int(avail // (16.0 * num_nodes))
-    if b_max >= want_batch:
-        return True, want_batch
-    if b_max >= min_batch:
-        return True, b_max
-    return False, want_batch
+    b_max = int(max(avail, 0.0) // (16.0 * num_nodes))
+    batch = want_batch if b_max >= want_batch else max(b_max, min_batch)
+    return False, batch
 
 
 def device_memory_bytes(device) -> Optional[int]:

@@ -518,25 +518,24 @@ def test_ppr_shard_merge_matches_direct(tmp_path, small_graph):
 
 def test_plan_device_ppr_hbm_guard():
     GB = 1 << 30
-    # papers100M proxy shapes on a 16 GB chip: the [N, batch] power
-    # iterate cannot fit even a shrunk batch -> native host push
-    assert ppr_mod.plan_device_ppr(10_000_000, 100_000_000, "tpu",
-                                   16 * GB) == (False, 512)
-    assert ppr_mod.plan_device_ppr(111_000_000, 3_200_000_000, "tpu",
-                                   16 * GB)[0] is False
-    # mid-size graph: device path stays, batch shrinks to fit
-    use, b = ppr_mod.plan_device_ppr(1_500_000, 15_000_000, "tpu", 16 * GB)
-    assert use and 256 <= b < 512
-    # comfortable fit: full batch
-    assert ppr_mod.plan_device_ppr(300_000, 3_000_000, "tpu",
-                                   16 * GB) == (True, 512)
-    # small graph / CPU backend: host push regardless of memory
-    assert ppr_mod.plan_device_ppr(89_250, 892_500, "tpu", 16 * GB)[0] is False
+    # the auto plan always picks the native push (round-4 measurement:
+    # device power iteration = ~44-90 targets/s vs 3,318/s push), at
+    # every shape that used to pick the device path
+    for n, e in ((10_000_000, 100_000_000), (111_000_000, 3_200_000_000),
+                 (1_500_000, 15_000_000), (300_000, 3_000_000),
+                 (89_250, 892_500)):
+        assert ppr_mod.plan_device_ppr(n, e, "tpu", 16 * GB)[0] is False
     assert ppr_mod.plan_device_ppr(10_000_000, 10_000_000, "cpu",
                                    None)[0] is False
-    # unknown HBM -> conservative 16 GB default applies
-    assert ppr_mod.plan_device_ppr(10_000_000, 100_000_000, "tpu",
-                                   None)[0] is False
+    # the returned batch still HBM-fits a FORCED device run
+    assert ppr_mod.plan_device_ppr(300_000, 3_000_000, "tpu",
+                                   16 * GB)[1] == 512
+    use, b = ppr_mod.plan_device_ppr(1_500_000, 15_000_000, "tpu", 16 * GB)
+    assert 256 <= b < 512
+    # papers100M-class: even the minimum batch cannot fit, but a forced
+    # device run gets the floor rather than an OOM-sized ask
+    assert ppr_mod.plan_device_ppr(111_000_000, 3_200_000_000, "tpu",
+                                   16 * GB)[1] == 256
 
 
 def test_trainer_auto_device_ppr_native_at_scale(monkeypatch, tmp_path):
