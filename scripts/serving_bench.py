@@ -40,9 +40,12 @@ def main():
     ap.add_argument("--batches", type=str, default="1,8,64,256")
     ap.add_argument("--requests", type=int, default=100)
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--device_ppr", action="store_true",
+                    help="force the device power-iteration PPR "
+                         "precompute (measured 40-75x slower than the "
+                         "native push; auto now always picks the push)")
     ap.add_argument("--host_ppr", action="store_true",
-                    help="use the host C++ PPR push instead of the "
-                         "device power iteration for table precompute")
+                    help="deprecated no-op: the native push is the default")
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -81,7 +84,7 @@ def main():
     metrics = Metrics("serve", False, "accuracy", 1)
     tr = Trainer("serve", "", g, parsed, metrics,
                  Logger(metrics, "/tmp/serve_bench", no_log=True), seed=0,
-                 use_device_ppr=not args.host_ppr,
+                 use_device_ppr=True if args.device_ppr else None,
                  prng_impl="rbg", matmul_precision="bfloat16")
     t0 = time.time()
     tr._ensure_tables(TEST)
