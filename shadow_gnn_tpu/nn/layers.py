@@ -387,16 +387,15 @@ class GATConv(_ConvBase):
         x = self._dropout(feat, train)
         b, n, _ = x.shape
         import os as _os
-        # 'hybrid' (4-D scores/norm + head-major kernel) measured 22.23 /
-        # 31.72 ms at the products/papers leaderboard shapes vs 25.02 /
-        # 35.71 for the all-flat variant — the [h*dh, h] indicator
-        # matmuls the flat path adds cost more than the layout copies
-        # they remove at every measured shape (BENCH.md round 4), so
-        # hybrid is the default and 'flat' stays as the A/B arm.
-        # 'headmajor' keeps every activation in the kernel's native
-        # [b, h, n, dh] layout from the transform einsum to the output
-        # combine — one repack per layer instead of per tensor.
-        _layout = _os.environ.get("SHADOW_GAT_LAYOUT", "hybrid")
+        # Measured at the products/papers leaderboard shapes (BENCH.md
+        # round 4, ms/step): headmajor 19.01/25.74 < hybrid 22.23/31.72
+        # < flat 25.02/35.71.  'headmajor' keeps every activation in
+        # the kernel's native [b, h, n, dh] layout from the transform
+        # einsum to the output combine — one repack per layer instead
+        # of per tensor — and is the default; 'hybrid' (4-D scores/norm
+        # + head-major kernel) serves as its fallback for pairnorm /
+        # per-channel prelu; 'flat' stays as an A/B arm.
+        _layout = _os.environ.get("SHADOW_GAT_LAYOUT", "headmajor")
         use_hm = (self.fused_att and _layout == "headmajor"
                   and self.act != "prelu+" and self.norm != "pairnorm")
         h_self_f = f(TorchLinear(self.dim_out,
@@ -430,9 +429,10 @@ class GATConv(_ConvBase):
                                       offset[1][:, None, :])
             out = (h_self_hm + aggr) / 2.0
             return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, -1)
-        if self.fused_att and _layout == "hybrid":
-            # hybrid: 4-D scores/norm like the
-            # dense branch, head-major kernel via the node-major wrapper
+        if self.fused_att and _layout in ("hybrid", "headmajor"):
+            # hybrid: 4-D scores/norm like the dense branch, head-major
+            # kernel via the node-major wrapper.  Also the fallback when
+            # a requested headmajor could not apply (pairnorm / prelu+).
             from shadow_gnn_tpu.ops.pallas_gat import gat_attention
             h_self = h_self_f.reshape(b, n, h, dh)
             h_neigh = h_neigh_f.reshape(b, n, h, dh)

@@ -131,6 +131,12 @@ def sample_nodes_ppr(cfg: SamplerConfig, graph: DeviceGraph,
     """
     b, t = roots.shape
     neighs, scores = _table_rows(tables, table_rows, table_slices)
+    if neighs.shape[-1] > cfg.k:
+        # wider table (ppr_st eval flip carries a 2k pool): only the
+        # first k positions can pass the positional keep mask below, so
+        # the dedup sorts run at half width — exact, rows are
+        # score-descending with -1 padding last
+        neighs, scores = neighs[..., :cfg.k], scores[..., :cfg.k]
     avail = (neighs >= 0).sum(-1)
     # k_rule caps the deterministic scope at top-k even when the table is
     # wider (ppr_st branches carry 2k pools and VALID/TEST falls back to
@@ -176,7 +182,13 @@ def sample_nodes_ppr_st(cfg: SamplerConfig, graph: DeviceGraph,
     # first) instead of argsort + two take_along gathers
     _, ids_r, sc_r = jax.lax.sort((-key, neighs, scores), dimension=-1,
                                   num_keys=1)
-    rank = jnp.arange(scores.shape[-1])[None, :]
+    if ids_r.shape[-1] > cfg.k:
+        # n_keep <= min(avail, k): race losers beyond rank k can never
+        # be selected — slicing halves the dedup sort width (the 2k
+        # pool only widens the RACE, not the scope) and keeps the
+        # concat width within n_pad (no truncation sort pass).  Exact.
+        ids_r, sc_r = ids_r[..., :cfg.k], sc_r[..., :cfg.k]
+    rank = jnp.arange(ids_r.shape[-1])[None, :]
     sel = rank < n_keep[:, None]
     sent = graph.num_nodes
     ids_sel = jnp.where(sel, ids_r, sent)
