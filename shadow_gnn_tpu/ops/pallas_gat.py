@@ -140,7 +140,13 @@ def _head_block(h, n, dh, bwd: bool) -> int:
     per_head = (6 if bwd else 4) * n * n * 4
     shared = 2 * n * n * 4 + (4 if bwd else 2) * n * dh * 4
     budget = 12 * 2**20
-    return h if h * per_head + shared <= budget else 1
+    # largest divisor of h that fits: at the papers shape (N=408, H=4)
+    # all-heads is a compile OOM but PAIRS fit — halving the adjacency
+    # refetch traffic vs the old all-or-one fallback
+    for cand in range(h, 0, -1):
+        if h % cand == 0 and cand * per_head + shared <= budget:
+            return cand
+    return 1
 
 
 def _specs(b, h, n, dh, h_blk):

@@ -182,10 +182,34 @@ def test_per_head_grid_fallback_matches_reference(monkeypatch):
                                    rtol=1e-4, atol=1e-5, err_msg=nm)
 
 
+def test_pair_head_block_matches_reference(monkeypatch):
+    """The papers100M shape blocks heads in PAIRS (2 of 4); force that
+    intermediate block size at test scale and check fwd + grads."""
+    monkeypatch.setattr(pg, "_head_block", lambda h, n, dh, bwd: 2)
+    args = _case(14, h=4)
+    got = pg.gat_attention(*args)
+    want = pg.gat_attention_reference(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    cot = jnp.asarray(np.random.default_rng(15).normal(
+        size=got.shape).astype(np.float32))
+    g1 = jax.grad(lambda *a: (pg.gat_attention(*a) * cot).sum(),
+                  argnums=(0, 1, 2))(*args[:3], *args[3:])
+    g2 = jax.grad(lambda *a: (pg.gat_attention_reference(*a) * cot).sum(),
+                  argnums=(0, 1, 2))(*args[:3], *args[3:])
+    for a, b_, nm in zip(g1, g2, ("att_self", "att_neigh", "v")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=nm)
+
+
 def test_head_block_budget():
-    """papers100M bwd shape (H=4, N=408, dh=200) must select the
-    per-head grid (the head-blocked variant measured 17.87 MB scoped
-    VMEM — an OOM); products (N=152, dh=128) keeps head-blocking."""
-    assert pg._head_block(4, 408, 200, bwd=True) == 1
+    """papers100M bwd shape (H=4, N=408, dh=200): all 4 heads measured
+    17.87 MB scoped VMEM — an OOM — but PAIRS fit, halving the
+    adjacency refetch vs a per-head grid; products (N=152, dh=128)
+    keeps full head-blocking.  A hypothetical huge block degrades all
+    the way to per-head."""
+    assert pg._head_block(4, 408, 200, bwd=True) == 2
+    assert pg._head_block(4, 408, 200, bwd=False) == 2
     assert pg._head_block(4, 152, 128, bwd=True) == 4
     assert pg._head_block(4, 152, 128, bwd=False) == 4
+    assert pg._head_block(4, 1024, 256, bwd=True) == 1
