@@ -209,9 +209,11 @@ def _extract_archive(tarball: str, staging: str) -> str:
 
 
 def _find_dir_with(root: str, filenames) -> Optional[str]:
-    """Innermost directory containing ALL of ``filenames`` (any of the
-    alternatives when an entry is a tuple)."""
-    for d, _, files in sorted(os.walk(root)):
+    """Innermost (deepest) directory containing ALL of ``filenames``
+    (any of the alternatives when an entry is a tuple) — a wrapper dir
+    with stray same-named files never shadows the real nested layout."""
+    for d, _, files in sorted(os.walk(root),
+                              key=lambda w: (-w[0].count(os.sep), w[0])):
         fs = set(files)
         ok = True
         for f in filenames:
@@ -230,8 +232,21 @@ def _read_csv_gz(path: str, dtype) -> np.ndarray:
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         txt = f.read()
-    ncol = txt[:txt.find("\n")].count(",") + 1
-    flat = np.array(txt.replace(",", " ").split(), np.float64)
+    stripped = txt.rstrip("\n")
+    first = stripped.lstrip("\n").split("\n", 1)[0]
+    ncol = first.count(",") + 1
+    # empty fields/lines are pandas' NaN na_rep in OGB raw CSVs; they
+    # must stay POSITIONAL — the fast whitespace split would collapse
+    # them and silently shift every following value
+    has_empty = (",," in stripped or ",\n" in stripped or "\n," in stripped
+                 or "\n\n" in stripped or stripped.startswith((",", "\n"))
+                 or stripped.endswith(","))
+    if has_empty:
+        flat = np.array([np.nan if v == "" else float(v)
+                         for ln in stripped.split("\n")
+                         for v in ln.split(",")], np.float64)
+    else:
+        flat = np.array(stripped.replace(",", " ").split(), np.float64)
     arr = flat.reshape(-1, ncol) if ncol > 1 else flat
     return arr.astype(dtype)
 

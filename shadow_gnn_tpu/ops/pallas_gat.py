@@ -134,9 +134,10 @@ def _head_block(h, n, dh, bwd: bool) -> int:
     blocks once and queues the per-head MXU dots back to back — but the
     compiler keeps ~6 live [N, N] f32 intermediates per unrolled head
     in the backward (measured: 17.87 MB scoped at B=64/H=4/N=408 — an
-    OOM against the 16 MB limit).  When the estimate exceeds the budget
-    we fall back to one head per grid step (adjacency re-fetched per
-    head, same HBM traffic as the round-2 kernel)."""
+    OOM against the 16 MB limit).  The block is the LARGEST DIVISOR of
+    H whose estimate fits the budget — any value in [1, H], not just
+    all-or-one: the adjacency is re-fetched once per block, so a
+    2-of-4 block halves that traffic vs a per-head grid."""
     per_head = (6 if bwd else 4) * n * n * 4
     shared = 2 * n * n * 4 + (4 if bwd else 2) * n * dh * 4
     budget = 12 * 2**20

@@ -88,15 +88,16 @@ def build_cache(sample_fn, num_roots: int, roots_all: np.ndarray,
     # cand induction builds [C, E, N] bf16 one-hot pairs — cap either
     # at ~2 GB so one chunk never OOMs HBM (a deg_cap near a power-law
     # max degree otherwise allocates tens of GB at chunk=256)
+    from shadow_gnn_tpu.sampling.induction import (ROWS_GATHER_BUDGET,
+                                                   rows_gather_bytes)
     if cfg.induction == "rows" and cfg.deg_cap > 0:
-        per_root = n * ((cfg.deg_cap - 1) // 32 + 2) * 512
+        per_root = rows_gather_bytes(1, n, cfg.deg_cap)
     elif cfg.induction in ("cand", "hub") and cfg.cand_cap > 0:
         per_root = 2 * cfg.cand_cap * n * 2
     else:
         per_root = 0
     if per_root > 0:
-        budget = 2 * 1024**3
-        chunk = min(chunk, max(8, budget // per_root))
+        chunk = min(chunk, max(8, ROWS_GATHER_BUDGET // per_root))
     nodes = np.empty((t, n), np.int32)
     bits = np.empty((t, n, math.ceil(n / 8)), np.uint8)
     targets = np.empty((t, cfg.num_targets), np.int32)

@@ -24,6 +24,21 @@ import jax.numpy as jnp
 from shadow_gnn_tpu.data.graph import DeviceGraph
 from shadow_gnn_tpu.sampling.batch import SamplerConfig, SubgraphBatch
 
+# HBM budget for the rows-induction block gather ([B, N, R, 32] int32,
+# lane-padded 4x by the TPU layout -> R*512 B per member with
+# R = (deg_cap-1)//32 + 2).  Sizing choices whose gather would exceed
+# this (at the larger of the train batch / the cache-build chunk) are
+# rejected: an unguarded deg_cap = scope_max on a power-law graph is a
+# 20 GB allocation at the products shape.
+ROWS_GATHER_BUDGET = 2 * 1024**3
+
+
+def rows_gather_bytes(batch: int, n_pad: int, deg_cap: int) -> int:
+    """HBM footprint of :func:`membership_matrix_rows`' block gather
+    (the ``nbr = blk[rows_idx]`` below, lane padding included)."""
+    r_blocks = (deg_cap - 1) // 32 + 2
+    return batch * n_pad * r_blocks * 512
+
 
 def membership_matrix(graph: DeviceGraph, nodes: jax.Array) -> jax.Array:
     """adj[b, i, j] = 1.0 iff edge (nodes[b,i] -> nodes[b,j]) in graph.

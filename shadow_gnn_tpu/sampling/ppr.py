@@ -117,7 +117,7 @@ def ppr_push_host(indptr: np.ndarray, indices: np.ndarray,
 # TPU-native batched power iteration
 # ---------------------------------------------------------------------------
 
-def plan_device_ppr(num_nodes: int, num_edges: int, platform: str,
+def plan_device_ppr(num_nodes: int, num_edges: int,
                     hbm_bytes: Optional[int],
                     want_batch: int = 512, min_batch: int = 256
                     ) -> Tuple[bool, int]:

@@ -67,18 +67,11 @@ def weighted_loss_fn(cfg: ModelConfig, logits, labels, weights):
 
 # The rows-induction neighbor gather materializes [B, n_pad, R, 32]
 # int32, lane-padded 4x by the (8,128) tile layout — R*512 bytes per
-# member with R = (deg_cap-1)//32 + 2.  Sizing choices whose gather
-# would exceed this budget (at the larger of the train batch / the
-# cache-build chunk) are rejected: an unguarded deg_cap = scope_max on
-# a power-law graph is a 20 GB allocation at the products shape.
-ROWS_GATHER_BUDGET = 2 * 1024**3
-
-
-def rows_gather_bytes(batch: int, n_pad: int, deg_cap: int) -> int:
-    """HBM footprint of membership_matrix_rows' block gather
-    (induction.py:282, lane padding included)."""
-    r_blocks = (deg_cap - 1) // 32 + 2
-    return batch * n_pad * r_blocks * 512
+# member with R = (deg_cap-1)//32 + 2; the canonical formula lives next
+# to the gather it budgets (sampling/induction.py) and is shared with
+# the cache-build chunk sizing (sampling/cache.py)
+from shadow_gnn_tpu.sampling.induction import (ROWS_GATHER_BUDGET,
+                                               rows_gather_bytes)
 
 
 def bucket_cap(n: int) -> int:
@@ -229,12 +222,12 @@ class Trainer:
         # (ppr.plan_device_ppr): it shrinks the block when near the
         # limit and falls back to the native push beyond it.
         dev0 = jax.devices()[0]
-        auto_dev, auto_batch = ppr_mod.plan_device_ppr(
+        self._hbm_bytes = ppr_mod.device_memory_bytes(dev0)
+        auto_dev, _ = ppr_mod.plan_device_ppr(
             self.num_nodes, int(self.graph[TRAIN].num_edges),
-            dev0.platform, ppr_mod.device_memory_bytes(dev0))
+            self._hbm_bytes)
         self.use_device_ppr = (use_device_ppr if use_device_ppr is not None
                                else auto_dev)
-        self.device_ppr_batch = auto_batch
         self.tables: Dict[int, List[Optional[PPRTables]]] = {}
         # device subgraph cache (deterministic samplers only; the
         # reference's record/reuse machinery, minibatch.py:306-342).
@@ -370,9 +363,16 @@ class Trainer:
                         induction = "rows"
                         dcap = bucket_cap(int(max(64.0, 8.0 * mean_deg)))
                         hslots = max(8, n_pad // 8)
-                    elif max_deg <= 4096:
+                    elif max_deg <= 4096 and not over_budget:
                         # exact row-slice induction, any directedness
                         induction, dcap = "rows", bucket_cap(int(max_deg))
+                    elif max_deg <= 4096:
+                        # DIRECTED over-budget small-degree graph: the
+                        # hub table needs undirected symmetry, so keep
+                        # the pairwise binary search — exact for any
+                        # directedness and bounded by the [B,N,N] adj
+                        # already materialized
+                        pass
                     else:
                         # DIRECTED hub-heavy graph (no shipped dataset):
                         # candidate-edge enumeration with an estimated
@@ -508,9 +508,14 @@ class Trainer:
                 return [nv[t] for t in targets], [sv[t] for t in targets]
         t0 = time.time()
         if self.use_device_ppr:
+            # HBM-fit the block to THIS mode's graph: VALID/TEST run
+            # over the full adjacency, which can carry more edges than
+            # the TRAIN graph the constructor saw (inductive datasets)
+            _, batch_m = ppr_mod.plan_device_ppr(
+                self.num_nodes, int(indices.size), self._hbm_bytes)
             neighs, scores = ppr_mod.ppr_power_device(
                 indptr, indices, targets, k_tab, cfg.alpha,
-                batch=self.device_ppr_batch)
+                batch=batch_m)
         else:
             neighs, scores = ppr_mod.ppr_push_host(
                 indptr, indices, targets, k_tab, cfg.alpha, cfg.epsilon)

@@ -424,6 +424,50 @@ def test_pipeline_selects_bounded_induction_on_powerlaw(tmp_path):
     assert np.isfinite(stats["loss"])
 
 
+def test_directed_khop_over_budget_keeps_search(monkeypatch, tmp_path):
+    """A DIRECTED graph whose rows-induction gather would blow the HBM
+    budget must keep the exact pairwise-search induction (the hub table
+    needs undirected symmetry, so 'rows'+hubs is not available) —
+    previously the budget guard only covered the undirected branch."""
+    from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
+    from shadow_gnn_tpu.train import pipeline as pipeline_mod
+    from shadow_gnn_tpu.train.config import parse_config
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu import TRAIN
+
+    monkeypatch.setattr(pipeline_mod, "ROWS_GATHER_BUDGET", 1)
+    g = make_synthetic_dataset(num_nodes=600, avg_deg=6, seed=7)
+    # break structural symmetry: drop the last out-edge of node 0 (the
+    # synthetic generator emits an undirected graph)
+    d0 = g.indptr_full[1] - g.indptr_full[0]
+    assert d0 > 0
+    g.indices_full = np.delete(g.indices_full, g.indptr_full[1] - 1)
+    g.indptr_full = g.indptr_full.copy()
+    g.indptr_full[1:] -= 1
+    g.node_set[TRAIN] = g.node_set[TRAIN][:64]
+    cfgd = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {"aggr": "sage", "num_layers": 2, "dim": 16,
+                         "pooling": "center", "residue": "none",
+                         "act": "relu", "loss": "softmax"},
+        "hyperparameter": {"lr": 0.01, "dropout": 0.0, "batch_size": 16,
+                           "end": 1},
+        "sampler": [{"method": "khop", "phase": "train", "depth": [2],
+                     "budget": [8]}],
+    }
+    m = Metrics("toy", False, "accuracy", 1)
+    tr = pipeline_mod.Trainer("toy", str(tmp_path), g, parse_config(cfgd),
+                              m, Logger(m, str(tmp_path / "log"),
+                                        no_log=True),
+                              seed=0, use_device_ppr=False)
+    assert not tr.undirected
+    cfg = tr.branches[0]["cfg"][TRAIN]
+    assert cfg.induction == "search", cfg
+    stats = tr.run_epoch(0, TRAIN)
+    assert np.isfinite(stats["loss"])
+
+
 def _native_available():
     try:
         from shadow_gnn_tpu.native import get_lib
@@ -524,18 +568,15 @@ def test_plan_device_ppr_hbm_guard():
     for n, e in ((10_000_000, 100_000_000), (111_000_000, 3_200_000_000),
                  (1_500_000, 15_000_000), (300_000, 3_000_000),
                  (89_250, 892_500)):
-        assert ppr_mod.plan_device_ppr(n, e, "tpu", 16 * GB)[0] is False
-    assert ppr_mod.plan_device_ppr(10_000_000, 10_000_000, "cpu",
-                                   None)[0] is False
+        assert ppr_mod.plan_device_ppr(n, e, 16 * GB)[0] is False
+    assert ppr_mod.plan_device_ppr(10_000_000, 10_000_000, None)[0] is False
     # the returned batch still HBM-fits a FORCED device run
-    assert ppr_mod.plan_device_ppr(300_000, 3_000_000, "tpu",
-                                   16 * GB)[1] == 512
-    use, b = ppr_mod.plan_device_ppr(1_500_000, 15_000_000, "tpu", 16 * GB)
+    assert ppr_mod.plan_device_ppr(300_000, 3_000_000, 16 * GB)[1] == 512
+    use, b = ppr_mod.plan_device_ppr(1_500_000, 15_000_000, 16 * GB)
     assert 256 <= b < 512
     # papers100M-class: even the minimum batch cannot fit, but a forced
     # device run gets the floor rather than an OOM-sized ask
-    assert ppr_mod.plan_device_ppr(111_000_000, 3_200_000_000, "tpu",
-                                   16 * GB)[1] == 256
+    assert ppr_mod.plan_device_ppr(111_000_000, 3_200_000_000, 16 * GB)[1] == 256
 
 
 def test_trainer_auto_device_ppr_native_at_scale(monkeypatch, tmp_path):
@@ -560,9 +601,9 @@ def test_trainer_auto_device_ppr_native_at_scale(monkeypatch, tmp_path):
     calls = {}
     real_plan = ppr_mod.plan_device_ppr
 
-    def spy_plan(n, e, platform, hbm, **kw):
-        calls["args"] = (n, e, platform, hbm)
-        return real_plan(n, e, platform, hbm, **kw)
+    def spy_plan(n, e, hbm, **kw):
+        calls["args"] = (n, e, hbm)
+        return real_plan(n, e, hbm, **kw)
 
     monkeypatch.setattr(ppr_mod, "plan_device_ppr", spy_plan)
     # 10M nodes, sparse ring graph (cheap to build), 1-dim features
@@ -595,7 +636,7 @@ def test_trainer_auto_device_ppr_native_at_scale(monkeypatch, tmp_path):
                               m, Logger(m, str(tmp_path / "log"),
                                         no_log=True),
                               seed=0, use_device_ppr=None)
-    assert calls["args"][0] == n and calls["args"][2] == "tpu"
-    assert calls["args"][3] == 16 << 30
+    assert calls["args"][0] == n
+    assert calls["args"][2] == 16 << 30
     assert tr.use_device_ppr is False, (
         "auto heuristic must fall back to native push at 10M nodes/16GB")

@@ -232,6 +232,27 @@ def test_tarball_ingest_ogb_node_csv(tmp_path):
     assert raw.node_set[VALID].size == 6
 
 
+def test_read_csv_gz_preserves_empty_fields(tmp_path):
+    """Empty CSV fields/lines are pandas' NaN na_rep in OGB raw files;
+    they must parse POSITIONALLY (a whitespace split would collapse
+    them and shift every following value — silent label corruption)."""
+    from shadow_gnn_tpu.data.converter import _read_csv_gz
+
+    def w(name, txt):
+        p = tmp_path / name
+        p.write_text(txt)
+        return str(p)
+
+    a = _read_csv_gz(w("a.csv", "1,2\n3,4\n"), np.float64)
+    assert a.shape == (2, 2) and a[1, 1] == 4
+    b = _read_csv_gz(w("b.csv", "1,\n,4\n"), np.float64)
+    assert np.isnan(b[0, 1]) and np.isnan(b[1, 0]) and b[1, 1] == 4
+    c = _read_csv_gz(w("c.csv", "5\n\n7\n"), np.float64)
+    assert c.shape == (3,) and np.isnan(c[1]) and c[2] == 7
+    d = _read_csv_gz(w("d.csv", "1,,3\n4,5,6\n"), np.float64)
+    assert d.shape == (2, 3) and np.isnan(d[0, 1]) and d[1, 2] == 6
+
+
 def test_tarball_ingest_ogb_link_pt(tmp_path):
     """OGB link layout: edge CSV + torch-pickled splits (collab)."""
     import gzip
