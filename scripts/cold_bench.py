@@ -240,6 +240,9 @@ def main():
     }
 
     if args.decompose:
+        # the headline numbers are already measured — print them FIRST
+        # so a decompose-stage failure can't lose them
+        print(json.dumps(res), flush=True)
         cfg = tr.branches[0]["cfg"][TRAIN]
         graph = tr.graph[TRAIN]
         tables = arrays.tables[0]
@@ -250,7 +253,7 @@ def main():
                 sample_nodes_ppr, sample_nodes_ppr_st, sample_nodes_khop,
                 sample_nodes_iid)
 
-            def body(gr, tabs, carry, xs):
+            def body(gr, tabs, ftab, carry, xs):
                 rng = carry
                 roots_b, rows_b = xs
                 rng, sub = jax.random.split(rng)
@@ -270,18 +273,21 @@ def main():
                                      table_rows=rows_b, tables=tabs)
                 if stage == "induce":
                     return rng, (b.adj.sum(), b.drnl.sum() + b.hop.sum())
-                feat = tr.feat_tab[jnp.clip(b.nodes, 0, tr.num_nodes - 1)]
+                # feat table comes in as an ARGUMENT: closure-capturing
+                # it serialized 5.12 GB of constants into the program at
+                # the 10M-node shape and broke the remote-compile pipe
+                feat = ftab[jnp.clip(b.nodes, 0, tr.num_nodes - 1)]
                 return rng, (b.adj.sum(), feat.sum())
 
             @jax.jit
-            def ep(rng, roots, rows, gr, tabs):
-                return jax.lax.scan(functools.partial(body, gr, tabs),
+            def ep(rng, roots, rows, gr, tabs, ftab):
+                return jax.lax.scan(functools.partial(body, gr, tabs, ftab),
                                     rng, (roots, rows))
             return ep
 
         for stage in ("sample", "induce", "induce+feat"):
             ep = mk(stage)
-            a = (rng, roots, rows, graph, tables)
+            a = (rng, roots, rows, graph, tables, tr.feat_tab)
             _, o = ep(*a)
             _ = float(o[0].sum())
             ts = []
