@@ -63,8 +63,11 @@ def general_outcome_correlation(indptr, indices, y0: np.ndarray,
     val = jnp.asarray((1.0 / in_deg[dst]).astype(np.float32))
     deg_j = jnp.asarray(in_deg)
 
+    # edge/degree arrays enter as ARGUMENTS: closure-captured buffers
+    # are serialized into the program on this backend (2E+N i32/f32 is
+    # ~26 GB at papers100M — it would break the remote-compile pipe)
     @jax.jit
-    def run(y0j):
+    def run(s, d, val, deg_j, y0j):
         def body(y, _):
             if use_norm:
                 y = y * jax.lax.rsqrt(deg_j)[:, None]
@@ -78,7 +81,8 @@ def general_outcome_correlation(indptr, indices, y0: np.ndarray,
         y, _ = jax.lax.scan(body, y0j, None, length=n_prop)
         return y
 
-    return np.asarray(run(jnp.asarray(y0.astype(np.float32))))
+    return np.asarray(run(s, d, val, deg_j,
+                          jnp.asarray(y0.astype(np.float32))))
 
 
 def correct_smooth(indptr, indices, label_full: np.ndarray,

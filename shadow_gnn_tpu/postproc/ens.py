@@ -76,8 +76,10 @@ def train_post_ensemble(node_set: Dict[int, np.ndarray],
     bs = int(params_cfg["batch_size"])
     tr_idx = np.asarray(node_set[TRAIN])
 
+    # full-graph embedding/label tables enter as ARGUMENTS — captured
+    # buffers get serialized into the program on this backend
     @jax.jit
-    def train_epoch(params, opt_state, rng, idx_batches):
+    def train_epoch(params, opt_state, rng, idx_batches, embs, lab_idx):
         def step(carry, idx):
             params, opt_state, rng = carry
             rng, r_do = jax.random.split(rng)
@@ -106,9 +108,12 @@ def train_post_ensemble(node_set: Dict[int, np.ndarray],
         return params, opt_state, losses
 
     @jax.jit
-    def predict(params, idx):
+    def predict_j(params, idx, embs):
         logits = model.apply(params, [e[idx] for e in embs], train=False)
         return jax.nn.sigmoid(logits) if sigmoid else jax.nn.softmax(logits, -1)
+
+    def predict(params, idx):
+        return predict_j(params, idx, embs)
 
     rng_np = np.random.default_rng(seed)
     best = {"valid": -1.0, "params": params}
@@ -117,7 +122,8 @@ def train_post_ensemble(node_set: Dict[int, np.ndarray],
         nb = tr_idx.size // bs
         idx_b = jnp.asarray(tr_idx[perm[:nb * bs]].reshape(nb, bs).astype(np.int32))
         rng, sub = jax.random.split(rng)
-        params, opt_state, _ = train_epoch(params, opt_state, sub, idx_b)
+        params, opt_state, _ = train_epoch(params, opt_state, sub, idx_b,
+                                           embs, lab_idx)
         va = _acc(predict, params, node_set[VALID], label)
         if va > best["valid"]:
             best = {"valid": va, "params": params}
