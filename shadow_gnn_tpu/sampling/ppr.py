@@ -183,8 +183,10 @@ def ppr_power_device(indptr: np.ndarray, indices: np.ndarray,
     w = (1.0 / deg[src]).astype(np.float32)
     src_j, dst_j, w_j = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
 
+    # edge arrays enter as ARGUMENTS (captured buffers serialize into
+    # the compiled program on this backend — 12 B/edge of constants)
     @jax.jit
-    def run_block(tgt_block):
+    def run_block(src_j, dst_j, w_j, tgt_block):
         e = jax.nn.one_hot(tgt_block, n, dtype=jnp.float32).T  # [N, B]
         def body(pi, _):
             msg = jax.ops.segment_sum(w_j[:, None] * pi[src_j], dst_j, num_segments=n)
@@ -200,7 +202,7 @@ def ppr_power_device(indptr: np.ndarray, indices: np.ndarray,
         blk = targets[s:s + batch]
         pad = batch - blk.size
         blk_p = np.pad(blk, (0, pad))
-        ti, tv = run_block(jnp.asarray(blk_p))
+        ti, tv = run_block(src_j, dst_j, w_j, jnp.asarray(blk_p))
         ti, tv = np.asarray(ti), np.asarray(tv)
         for b in range(blk.size):
             valid = tv[b] > 0
