@@ -70,10 +70,11 @@ def build_argparser():
     p.add_argument("--packed_adj", action="store_true",
                    help="fused Pallas aggregation over the bit-packed "
                         "subgraph cache (gcn/sage/gin)")
-    p.add_argument("--fused_gat", action="store_true",
+    p.add_argument("--fused_gat", default="auto", nargs="?", const="on",
+                   choices=["auto", "on", "off"],
                    help="fused Pallas masked-attention kernel for "
                         "gat/gatscat (keeps the [B,N,N,H] score chain "
-                        "in VMEM)")
+                        "in VMEM); auto = on for GAT on accelerators")
     # reference-CLI compat no-ops (globals.py flags a migrating user's
     # launch scripts will pass): progress bars don't exist here, and
     # device selection is JAX-native (--platform)
@@ -215,7 +216,8 @@ def main(argv=None):
                       use_device_ppr=use_device_ppr,
                       matmul_precision=args.matmul_precision,
                       packed_adj=args.packed_adj,
-                      fused_gat=args.fused_gat,
+                      fused_gat={"auto": None, "on": True,
+                                 "off": False}[args.fused_gat],
                       compute_dtype=args.compute_dtype,
                       feat_dtype=args.feat_dtype,
                       prng_impl=args.prng,

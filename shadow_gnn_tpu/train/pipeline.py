@@ -109,7 +109,8 @@ class Trainer:
                  seed: int = 0, use_device_ppr: Optional[bool] = None,
                  matmul_precision: Optional[str] = None,
                  packed_adj: bool = False, compute_dtype: str = "float32",
-                 prng_impl: Optional[str] = None, fused_gat: bool = False,
+                 prng_impl: Optional[str] = None,
+                 fused_gat: Optional[bool] = None,
                  feat_dtype: str = "float32", partition: str = "none",
                  partition_devices: int = 0):
         if prng_impl:
@@ -262,7 +263,14 @@ class Trainer:
             dropout=float(self.params_train["dropout"]),
             dropedge=float(self.params_train.get("dropedge", 0.0)),
             packed_adj=packed_adj,
-            fused_gat=fused_gat,
+            # auto: the fused masked-attention kernel measured 1.75x /
+            # 1.25x over the dense chain at the products/papers
+            # leaderboard shapes (BENCH.md round 4) — default it ON for
+            # GAT on accelerators; CPU keeps the dense chain (Pallas
+            # interpret mode is orders slower)
+            fused_gat=(fused_gat if fused_gat is not None
+                       else (self.arch["aggr"] == "gat"
+                             and jax.devices()[0].platform != "cpu")),
             compute_dtype=compute_dtype,
         )
         self.model = DeepGNN(self.model_cfg)

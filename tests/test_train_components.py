@@ -350,3 +350,47 @@ def test_logger_window_selection(tmp_path):
     # restored params match the elected epoch
     p, _ = lg3.restore_model(None)
     assert float(p["w"][0]) == 2
+
+
+def test_fused_gat_auto_default(monkeypatch, tmp_path):
+    """fused_gat=None auto-enables the Pallas attention kernel for GAT
+    on accelerator platforms and keeps the dense chain on CPU (interpret
+    mode is orders slower); explicit False always wins."""
+    from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
+    from shadow_gnn_tpu.train import pipeline as pipeline_mod
+    from shadow_gnn_tpu.train.config import parse_config
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu import TRAIN
+
+    g = make_synthetic_dataset(num_nodes=400, avg_deg=6, seed=3)
+    g.node_set[TRAIN] = g.node_set[TRAIN][:32]
+    cfgd = {
+        "data": {"transductive": True},
+        "architecture": {"aggr": "gat", "heads": 2, "num_layers": 2,
+                         "dim": 16, "pooling": "center", "residue": "none",
+                         "act": "relu", "loss": "softmax"},
+        "hyperparameter": {"lr": 0.01, "dropout": 0.0, "batch_size": 16,
+                           "end": 1},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [8],
+                     "epsilon": [1e-4]}],
+    }
+    m = Metrics("toy", False, "accuracy", 1)
+
+    def mk(platform, fused):
+        class FakeDev:
+            def memory_stats(self):
+                return {}
+        FakeDev.platform = platform
+        monkeypatch.setattr(pipeline_mod.jax, "devices",
+                            lambda *a, **k: [FakeDev()])
+        tr = pipeline_mod.Trainer("toy", str(tmp_path), g, parse_config(cfgd),
+                                  m, Logger(m, str(tmp_path / "log"),
+                                            no_log=True),
+                                  seed=0, use_device_ppr=False,
+                                  fused_gat=fused)
+        return tr.model_cfg.fused_gat
+
+    assert mk("tpu", None) is True
+    assert mk("cpu", None) is False
+    assert mk("tpu", False) is False
