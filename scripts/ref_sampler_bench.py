@@ -34,10 +34,11 @@ import numpy as np  # noqa: E402  (after compat)
 import scipy.sparse as sp  # noqa: E402
 
 
-def build_graph(num_nodes=89000, avg_deg=10, seed=0):
+def build_graph(num_nodes=89000, avg_deg=10, seed=0, power_law=False):
     from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
     g = make_synthetic_dataset(num_nodes=num_nodes, avg_deg=avg_deg,
-                               num_feat=8, num_classes=7, seed=seed)
+                               num_feat=8, num_classes=7, seed=seed,
+                               power_law=power_law)
     n = g.indptr_full.size - 1
     adj = sp.csr_matrix(
         (np.broadcast_to(np.ones(1, dtype=bool), g.indices_full.size),
@@ -78,6 +79,13 @@ def main():
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--roots", type=int, default=8192)
     ap.add_argument("--nodes", type=int, default=89000)
+    # papers100M-proxy shape: --nodes 10000000 --power_law --k 400
+    # --epsilon 1e-5 --avg_deg 12 --skip_khop (cold_bench papers_nocache)
+    ap.add_argument("--power_law", action="store_true")
+    ap.add_argument("--avg_deg", type=float, default=10.0)
+    ap.add_argument("--k", type=int, default=200)
+    ap.add_argument("--epsilon", type=float, default=1e-6)
+    ap.add_argument("--skip_khop", action="store_true")
     args = ap.parse_args()
 
     work = os.path.join(REPO, "tmp", "ref_sampler_bench")
@@ -86,7 +94,8 @@ def main():
     import shutil
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(os.path.join(work, "erbench", "ppr_float"), exist_ok=True)
-    adj, _ = build_graph(num_nodes=args.nodes)
+    adj, _ = build_graph(num_nodes=args.nodes, avg_deg=args.avg_deg,
+                         power_law=args.power_law)
     common = {"size_root": 1, "fix_target": True,
               "sequential_traversal": True}
     root_ids = np.random.default_rng(7).permutation(
@@ -97,7 +106,8 @@ def main():
 
     # same protocol as minibatch.py:366-390 — PPR preproc over this
     # mode's targets, then batched deterministic top-k sampling
-    ppr_cfg = dict(common, method="ppr", k=200, epsilon=1e-6, type_=0,
+    ppr_cfg = dict(common, method="ppr", k=args.k, epsilon=args.epsilon,
+                   type_=0,
                    name_data="erbench", dir_data={"local": work, "remote": [],
                               "is_adj_changed": False},
                    is_transductive=True,
@@ -109,6 +119,9 @@ def main():
     out["ppr_epoch0_s"] = round(e0, 2)
     out["ppr_subg_per_s"] = round(args.roots / e1, 1)
 
+    if args.skip_khop:
+        print(json.dumps(out))
+        return
     khop_cfg = dict(common, method="khop", depth=2, budget=10)
     e0, e1, prep = bench_sampler(adj, khop_cfg, {"hops"}, args.threads,
                                  root_ids)
