@@ -354,6 +354,48 @@ def run_reference(seed: int, epochs: int, dataset: str = "flickr",
     return acc
 
 
+
+# No SHIPPED reference yml carries a multi-branch sampler list, but the
+# machinery is first-class (samplers_ensemble.py drives N samplers;
+# layers.py:236-296 softmax-attention branch aggregation; config
+# decoupling minibatch.py:50-66) — this A/B exercises it end to end:
+# deterministic PPR branch + stochastic khop branch, SAGE-3, branch
+# logits aggregated by the learned attention ensembler on both sides.
+ENSEMBLE_TRAIN_YML = """\
+data:
+  to_undirected: False
+  transductive: True
+architecture:
+  dim: 128
+  aggr: sage
+  loss: softmax
+  num_layers: 3
+  act: relu
+  use_label: none
+  feature_smoothen: none
+  label_smoothen: none
+  feature_augment: hops
+  residue: none
+  pooling: center
+  ensemble_act: leakyrelu
+hyperparameter:
+  end: {end}
+  lr: 0.0005
+  dropout: 0.45
+  dropedge: 0.05
+  batch_size: 64
+  ensemble_dropout: none
+sampler:
+  - method: ppr
+    phase: train
+    k: [100]
+    epsilon: [1e-6]
+  - method: khop
+    phase: train
+    depth: [2]
+    budget: [10]
+"""
+
 def _run_ours_node(seed: int, cfg: dict, tag: str,
                    share_cache: bool = True) -> float:
     from shadow_gnn_tpu import TEST
@@ -445,6 +487,29 @@ def run_ours_smooth(seed: int, epochs: int) -> float:
     return _run_ours_node(seed, cfg, "smooth", share_cache=False)
 
 
+def run_ours_ensemble(seed: int, epochs: int) -> float:
+    """Ours side of the 2-branch (ppr + khop) ensemble A/B."""
+    cfg = {
+        "data": {"to_undirected": False, "transductive": True},
+        "architecture": {
+            "dim": 128, "aggr": "sage", "loss": "softmax",
+            "num_layers": 3, "act": "relu", "feature_augment": "hops",
+            "residue": "none", "pooling": "center",
+            "ensemble_act": "leakyrelu",
+        },
+        "hyperparameter": {
+            "end": epochs, "lr": 0.0005, "dropout": 0.45,
+            "dropedge": 0.05, "batch_size": 64,
+            "ensemble_dropout": "none",
+        },
+        "sampler": [{"method": "ppr", "phase": "train", "k": [100],
+                     "epsilon": [1e-6]},
+                    {"method": "khop", "phase": "train", "depth": [2],
+                     "budget": [10]}],
+    }
+    return _run_ours_node(seed, cfg, "ens")
+
+
 def run_ours_link(seed: int, epochs: int) -> float:
     from shadow_gnn_tpu import TEST
     from shadow_gnn_tpu.data.loader import load_data
@@ -500,7 +565,7 @@ def main():
     ap.add_argument("--platform", default="cpu",
                     help="backend for OUR side (reference is torch cpu)")
     ap.add_argument("--task", default="node",
-                    choices=["node", "link", "gat", "smoothen"],
+                    choices=["node", "link", "gat", "smoothen", "ensemble"],
                     help="node = flickr sage_3_ppr semantics; link = "
                          "collab leaderboard semantics (ppr_st + DRNL + "
                          "sort pooling + hits@50); gat = papers100M "
@@ -520,10 +585,13 @@ def main():
         f.write(GAT_TRAIN_YML.format(end=args.epochs))
     with open(os.path.join(WORK, "ab_smooth.yml"), "w") as f:
         f.write(SMOOTH_TRAIN_YML.format(end=args.epochs))
+    with open(os.path.join(WORK, "ab_ens.yml"), "w") as f:
+        f.write(ENSEMBLE_TRAIN_YML.format(end=args.epochs))
 
     is_link = args.task == "link"
     node_cfg_name = {"node": "ab_sage.yml", "gat": "ab_gat.yml",
-                     "smoothen": "ab_smooth.yml"}.get(args.task)
+                     "smoothen": "ab_smooth.yml",
+                     "ensemble": "ab_ens.yml"}.get(args.task)
     metric = "hits50" if is_link else "accuracy"
     out = {"task": f"planted-SBM {args.task} A/B vs reference",
            "metric": metric, "nodes": args.nodes,
@@ -563,7 +631,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         import numpy as np
         f_run = {"link": run_ours_link, "node": run_ours,
-                 "gat": run_ours_gat, "smoothen": run_ours_smooth}[args.task]
+                 "gat": run_ours_gat, "smoothen": run_ours_smooth,
+                 "ensemble": run_ours_ensemble}[args.task]
         accs = [f_run(s, args.epochs)
                 for s in range(args.seed_start,
                                args.seed_start + args.seeds)]
