@@ -1032,3 +1032,35 @@ def test_point_query_serving_api(tmp_path):
     if uncovered.size:
         with pytest.raises(ValueError, match="not covered"):
             tr.predict_nodes(uncovered[:1], mode=TEST)
+
+
+def test_epoch_program_has_no_large_constants(tmp_path):
+    """Every large buffer (graph CSR, feature table, PPR tables, caches)
+    must reach the epoch program as an ARGUMENT: this backend serializes
+    closure-captured constants into the compiled program (multi-minute
+    compiles; at 10M nodes the 5.12 GB feature table broke the
+    remote-compile transport).  Guard: the lowered train-epoch module
+    contains no dense constant bigger than 1024 elements."""
+    import math
+    import re
+    import jax
+    from shadow_gnn_tpu import TRAIN
+
+    tr = make_trainer(tmp_path, BASE_CONFIG)
+    tr._ensure_tables(TRAIN)
+    nb, roots, rows, labels, w, *_ = tr._epoch_arrays(TRAIN)
+    fn = tr._make_epoch_fn(TRAIN, nb, True)
+    arrays = tr._mode_arrays(TRAIN)
+    low = fn.lower(tr.params, tr.opt_state, jax.random.PRNGKey(0),
+                   roots, rows, labels, w, arrays)
+    txt = low.as_text()
+    shapes = re.findall(r"stablehlo\.constant dense<[^>]*> : tensor<([^>]+)>",
+                        txt)
+    assert shapes, "no constants found — lowering text format changed?"
+
+    def numel(shape):
+        dims = [int(x) for x in shape.split("x")[:-1] if x.isdigit()]
+        return math.prod(dims) if dims else 1
+
+    big = [(numel(s), s) for s in shapes if numel(s) > 1024]
+    assert not big, f"graph-sized constants captured into the program: {big}"
