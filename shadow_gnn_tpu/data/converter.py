@@ -232,21 +232,39 @@ def _read_csv_gz(path: str, dtype) -> np.ndarray:
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         txt = f.read()
-    stripped = txt.rstrip("\n")
-    first = stripped.lstrip("\n").split("\n", 1)[0]
+    # strip exactly ONE terminator newline: further trailing newlines
+    # are trailing empty rows (NaN rows) and must be preserved
+    if txt.endswith("\n"):
+        txt = txt[:-1]
+    first = txt.lstrip("\n").split("\n", 1)[0]
     ncol = first.count(",") + 1
     # empty fields/lines are pandas' NaN na_rep in OGB raw CSVs; they
     # must stay POSITIONAL — the fast whitespace split would collapse
-    # them and silently shift every following value
-    has_empty = (",," in stripped or ",\n" in stripped or "\n," in stripped
-                 or "\n\n" in stripped or stripped.startswith((",", "\n"))
-                 or stripped.endswith(","))
+    # them and silently shift every following value.  Normalize them to
+    # the literal 'nan' TEXTUALLY (all C-speed replaces, no per-value
+    # python loop — these files have 100M+ rows at papers100M scale),
+    # then the vectorized parse handles everything.
+    has_empty = (",," in txt or ",\n" in txt or "\n," in txt
+                 or "\n\n" in txt or txt.startswith((",", "\n"))
+                 or txt.endswith(",") or txt == "")
     if has_empty:
-        flat = np.array([np.nan if v == "" else float(v)
-                         for ln in stripped.split("\n")
-                         for v in ln.split(",")], np.float64)
-    else:
-        flat = np.array(stripped.replace(",", " ").split(), np.float64)
+        empty_row = ",".join(["nan"] * ncol)
+        if ncol > 1:
+            while ",," in txt:                      # adjacent empties
+                txt = txt.replace(",,", ",nan,")
+            txt = txt.replace(",\n", ",nan\n").replace("\n,", "\nnan,")
+            if txt.startswith(","):
+                txt = "nan" + txt
+            if txt.endswith(","):
+                txt += "nan"
+        # empty LINES -> full NaN rows (single-col: each is one nan)
+        while "\n\n" in txt:
+            txt = txt.replace("\n\n", "\n" + empty_row + "\n")
+        if txt.startswith("\n"):
+            txt = empty_row + txt
+        if txt.endswith("\n") or txt == "":
+            txt += empty_row
+    flat = np.array(txt.replace(",", " ").split(), np.float64)
     arr = flat.reshape(-1, ncol) if ncol > 1 else flat
     return arr.astype(dtype)
 

@@ -266,11 +266,14 @@ class Trainer:
             # auto: the fused masked-attention kernel measured 1.75x /
             # 1.25x over the dense chain at the products/papers
             # leaderboard shapes (BENCH.md round 4) — default it ON for
-            # GAT on accelerators; CPU keeps the dense chain (Pallas
-            # interpret mode is orders slower)
+            # gat/gatscat on TPU.  Only TPU: the kernel is written
+            # against TPU lowering rules (pallas tpu module, (8,128)
+            # tiles) and unvalidated on other accelerators; CPU keeps
+            # the dense chain (interpret mode is orders slower)
             fused_gat=(fused_gat if fused_gat is not None
-                       else (self.arch["aggr"] == "gat"
-                             and jax.devices()[0].platform != "cpu")),
+                       else (self.arch["aggr"] in ("gat", "gatscat")
+                             and jax.devices()[0].platform
+                             in ("tpu", "axon"))),
             compute_dtype=compute_dtype,
         )
         self.model = DeepGNN(self.model_cfg)

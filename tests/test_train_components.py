@@ -251,6 +251,15 @@ def test_read_csv_gz_preserves_empty_fields(tmp_path):
     assert c.shape == (3,) and np.isnan(c[1]) and c[2] == 7
     d = _read_csv_gz(w("d.csv", "1,,3\n4,5,6\n"), np.float64)
     assert d.shape == (2, 3) and np.isnan(d[0, 1]) and d[1, 2] == 6
+    # trailing NaN rows survive (only ONE terminator newline stripped)
+    e = _read_csv_gz(w("e.csv", "1\n\n\n"), np.float64)
+    assert e.shape == (3,) and e[0] == 1 and np.isnan(e[1:]).all()
+    # an empty line in a multi-col file is a FULL row of NaNs
+    f_ = _read_csv_gz(w("f.csv", "1,2\n\n3,4\n"), np.float64)
+    assert f_.shape == (3, 2) and np.isnan(f_[1]).all() and f_[2, 0] == 3
+    # adjacent empty fields don't merge
+    g = _read_csv_gz(w("g.csv", "1,,,4\n5,6,7,8\n"), np.float64)
+    assert g.shape == (2, 4) and np.isnan(g[0, 1:3]).all() and g[0, 3] == 4
 
 
 def test_tarball_ingest_ogb_link_pt(tmp_path):
