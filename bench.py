@@ -10,10 +10,13 @@ i.e. the work the reference splits between its C++/OpenMP sampling
 engine and the GPU trainer, here fused into one jitted device program.
 
 `vs_baseline`: the reference publishes no throughput numbers
-(BASELINE.md), so the baseline is the measured throughput of this
-machine's CPU running the reference-equivalent host pipeline
-(numpy subgraph extraction, same per-root semantics), scaled by the
-reference's 20-thread OpenMP parallelism assumption.
+(BASELINE.md), so the baseline is the reference's OWN C++ engine
+compiled and measured at this exact shape in this environment
+(scripts/ref_sampler_bench.py; 26k subg/s sampling-only, 4 measured
+OpenMP threads x5 to its 20-thread config) — recorded as a constant
+so the ratio doesn't vary with transient host CPU load.  The live
+python stand-in used by rounds 1-3 is retained in
+detail.host_reference_subg_per_s_20thr.
 """
 import json
 import os
@@ -190,13 +193,19 @@ def main():
     num_layers = 3
     edges_per_s = edges_per_batch * nb * num_layers / t_epoch
 
-    # baseline: host reference-equivalent sampling of 64 roots, scaled
+    # baseline: the reference's OWN C++ engine at this exact shape,
+    # measured in this environment (scripts/ref_sampler_bench.py, 4
+    # OpenMP threads, x5 extrapolated to its 20-thread config) — a
+    # RECORDED constant so the ratio doesn't float with the host's CPU
+    # load the way the live python stand-in (kept in detail) does
+    REF_ENGINE_PPR_SUBG_PER_S_20THR = 26_000.0
+    vs_baseline = subg_per_s / REF_ENGINE_PPR_SUBG_PER_S_20THR
+    # live python stand-in retained for continuity with r1-r3 details
     tab = np.asarray(tr.tables[TRAIN][0].neighs[:64])
     t_host = time_host_reference_sampler(
         g.indptr_full, g.indices_full, tab,
         np.asarray(tr.entity_set[TRAIN][:64]), 200)
     host_subg_per_s = 64 / t_host * 20        # 20 OpenMP threads equiv
-    vs_baseline = subg_per_s / host_subg_per_s
 
     print(json.dumps({
         "metric": "train throughput (sample+induce+fwd+bwd), SAGE-3 PPR-200 flickr-scale",
