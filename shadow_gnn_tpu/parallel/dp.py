@@ -32,7 +32,8 @@ def make_mesh(n_devices: int) -> Mesh:
 
 
 def make_dp_train_step(trainer, mode: int, n_devices: int,
-                       return_logits: bool = False, mesh: Mesh = None):
+                       return_logits: bool = False, mesh: Mesh = None,
+                       epoch_scan: bool = False):
     """Returns (step_fn, shard_batch, replicate).
 
     step_fn(params, opt_state, rng, roots, rows, labels, w) runs ONE
@@ -42,6 +43,14 @@ def make_dp_train_step(trainer, mode: int, n_devices: int,
     additionally returns the batch logits (sharded over dp) so the
     driver's metrics/logging pipeline can consume partition-mode
     epochs.
+
+    With ``epoch_scan`` the step consumes WHOLE-EPOCH arrays
+    ``[nb, B, ...]`` (batch dim second, sharded over dp) and runs a
+    lax.scan over the batches inside ONE program — a single device
+    dispatch per TRAIN epoch, same as the single-chip and
+    edge-partitioned paths (per-batch dispatches cost ~7ms each
+    through the remote-TPU tunnel).  Returns
+    ``(params, opt_state, losses[nb], logits[nb, B, C], ovf)``.
 
     Multi-host: pass ``mesh=multihost.global_dp_mesh()``.  Replicated
     state is then assembled with make_array_from_process_local_data
@@ -100,24 +109,75 @@ def make_dp_train_step(trainer, mode: int, n_devices: int,
             return params, opt_state, loss, logits, ovf
         return params, opt_state, loss
 
+    def _epoch(params, opt_state, rng, roots, rows, labels, w, arrays):
+        """Whole-epoch scan over batches inside ONE program (one device
+        dispatch per TRAIN epoch, matching the single-chip and
+        edge-partitioned paths)."""
+        import optax
+
+        def body(carry, xs):
+            params, opt_state, rng = carry
+            roots_b, rows_b, labels_b, w_b = xs
+            rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+            batches, feats = trainer._sample_branch_batches(
+                mode, roots_b, rows_b, r_samp, arrays)
+
+            def lf(p):
+                logits, _ = model.apply(
+                    p, batches, feats, mode_train=True, train=True,
+                    rngs={"dropout": r_do, "dropedge": r_de})
+                return weighted_loss_fn(cfg_m, logits, labels_b, w_b), logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                lf, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ovf = sum(b.overflow for b in batches)
+            return (params, opt_state, rng), (loss, logits, ovf)
+
+        (params, opt_state, _), (losses, logits, ovfs) = jax.lax.scan(
+            body, (params, opt_state, rng), (roots, rows, labels, w))
+        return params, opt_state, losses, logits, ovfs.sum()
+
     # multi-process: the driver computes metrics on the host from the
     # GLOBAL logits, which no single process could fetch from a
     # dp-sharded output — return them replicated (GSPMD inserts an
     # all-gather of the tiny [b, C] block)
-    logits_sh = repl if multi else bshard
-    out_sh = ((repl, repl, repl, logits_sh, repl) if return_logits
-              else (repl, repl, repl))
-    step_inner = jax.jit(
-        _step,
-        in_shardings=(repl, repl, repl, bshard, bshard, bshard, bshard, repl),
-        out_shardings=out_sh,
-    )
+    if epoch_scan:
+        eshard = NamedSharding(mesh, P(None, "dp"))
+        logits_sh = repl if multi else eshard
+        step_inner = jax.jit(
+            _epoch,
+            in_shardings=(repl, repl, repl, eshard, eshard, eshard, eshard,
+                          repl),
+            out_shardings=(repl, repl, repl, logits_sh, repl),
+        )
+    else:
+        logits_sh = repl if multi else bshard
+        out_sh = ((repl, repl, repl, logits_sh, repl) if return_logits
+                  else (repl, repl, repl))
+        step_inner = jax.jit(
+            _step,
+            in_shardings=(repl, repl, repl, bshard, bshard, bshard, bshard,
+                          repl),
+            out_shardings=out_sh,
+        )
 
     def step(params, opt_state, rng, roots, rows, labels, w):
         return step_inner(params, opt_state, rng, roots, rows, labels, w,
                           arrays0)
 
     def shard_batch(xs: Tuple):
+        if epoch_scan:
+            # whole-epoch arrays [nb, B, ...]: batch dim is SECOND; in
+            # multi-process jobs each host feeds its process_slice of
+            # the batch columns
+            if multi:
+                from shadow_gnn_tpu.parallel import multihost as mh
+                return tuple(mh.process_local_epoch(mesh, np.asarray(x))
+                             for x in xs)
+            esh = NamedSharding(mesh, P(None, "dp"))
+            return tuple(jax.device_put(x, esh) for x in xs)
         if multi:
             from shadow_gnn_tpu.parallel import multihost as mh
             return tuple(mh.process_local_batch(mesh, np.asarray(x))

@@ -130,7 +130,8 @@ def put_global(mesh: Mesh, tree, spec):
 def make_sharded_train_step(trainer, mode: int, n_devices: int,
                             axis: str = "dp",
                             return_logits: bool = False,
-                            mesh: Mesh = None, train: bool = True):
+                            mesh: Mesh = None, train: bool = True,
+                            epoch_scan: bool = False):
     """Full DP training step with a ROW-SHARDED feature table.
 
     Unlike parallel/dp.py (features replicated), the node-feature table
@@ -139,6 +140,11 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
     step runs under shard_map: sampling + induction per batch shard,
     feature rows fetched with the all-gather/psum_scatter collective,
     gradients pmean-reduced explicitly.
+
+    With ``epoch_scan`` (train only) the step consumes whole-epoch
+    ``[nb, B, ...]`` arrays and scans the batches inside ONE program —
+    a single device dispatch per TRAIN epoch, same as the single-chip,
+    dp, and edge-partitioned paths.
 
     Returns (step_fn, shard_batch, replicate, feat_sharded).
     """
@@ -223,8 +229,46 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
             logits = jax.lax.all_gather(logits, axis, axis=0, tiled=True)
         return loss, logits, ovf
 
+    def _epoch(params, opt_state, rng, roots, rows, labels, w, feat_local,
+               g_arrays, tabs):
+        """Whole-epoch scan over batches inside ONE shard_map program
+        (one device dispatch per TRAIN epoch)."""
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def body(carry, xs):
+            params, opt_state, rng = carry
+            roots_b, rows_b, labels_b, w_b = xs
+            rng, r_samp, r_do, r_de = jax.random.split(rng, 4)
+            batches, feats = _sample_all(r_samp, roots_b, rows_b,
+                                         feat_local, g_arrays, tabs)
+            params, opt_state, loss, logits, ovf = spmd_train_update(
+                model, opt, cfg_m, axis, params, opt_state, batches,
+                feats, labels_b, w_b, r_do, r_de)
+            if multi:
+                logits = jax.lax.all_gather(logits, axis, axis=0,
+                                            tiled=True)
+            return (params, opt_state, rng), (loss, logits, ovf)
+
+        (params, opt_state, _), (losses, logits, ovfs) = jax.lax.scan(
+            body, (params, opt_state, rng), (roots, rows, labels, w))
+        return params, opt_state, losses, logits, ovfs.sum()
+
     logits_spec = P() if multi else P(axis)
-    if train:
+    if train and epoch_scan:
+        sharded_ep = jax.jit(jax.shard_map(
+            _epoch, mesh=mesh,
+            in_specs=(P(), P(), P(), P(None, axis), P(None, axis),
+                      P(None, axis), P(None, axis),
+                      P(axis, None), P(), P()),
+            out_specs=(P(), P(), P(),
+                       P() if multi else P(None, axis), P()),
+            check_vma=False,
+        ))
+
+        def step(params, opt_state, rng, roots, rows, labels, w):
+            return sharded_ep(params, opt_state, rng, roots, rows, labels,
+                              w, feat_sharded, graph_arrays, tables)
+    elif train:
         out_specs = ((P(), P(), P(), logits_spec, P()) if return_logits
                      else (P(), P(), P()))
         sharded = jax.jit(jax.shard_map(
@@ -252,6 +296,15 @@ def make_sharded_train_step(trainer, mode: int, n_devices: int,
                              feat_sharded, graph_arrays, tables)
 
     def shard_batch(xs):
+        if train and epoch_scan:
+            # whole-epoch arrays [nb, B, ...]: batch dim is SECOND
+            if jax.process_count() > 1:
+                from shadow_gnn_tpu.parallel import multihost as mh
+                return tuple(
+                    mh.process_local_epoch(mesh, np.asarray(x), axis)
+                    for x in xs)
+            esh = NamedSharding(mesh, P(None, axis))
+            return tuple(jax.device_put(x, esh) for x in xs)
         if jax.process_count() > 1:
             from shadow_gnn_tpu.parallel import multihost as mh
             return tuple(mh.process_local_batch(mesh, np.asarray(x), axis)

@@ -1056,77 +1056,57 @@ class Trainer:
     def _run_partition_epoch(self, mode, nb, roots, rows, labels, w, rng):
         """TRAIN epoch over the multi-device partition step.
 
-        One per-batch dispatch per step (the partition steps are
-        per-batch shard_map/GSPMD programs, not epoch scans); parameters
-        live replicated on the mesh across the epoch and are pulled back
-        to the default device at the end so eval epochs and
-        checkpointing see ordinary arrays.
+        ONE device dispatch per epoch on every partition mode (dp /
+        feat / edge): each step factory builds a whole-epoch
+        scan-over-batches program (per-batch dispatches cost ~7ms each
+        through the remote-TPU tunnel — the same consideration that
+        keeps the single-device TRAIN path a monolithic lax.scan).
+        Multi-process too: every host feeds its process-local batch
+        columns of the [nb, B, ...] epoch arrays and logits come back
+        replicated for the metric pass.  Parameters live replicated on
+        the mesh across the epoch and are pulled back to the default
+        device at the end so eval epochs and checkpointing see ordinary
+        arrays.
         """
         multi = jax.process_count() > 1
         if mode not in self._partition_fns:
             n = self.partition_devices or len(jax.devices())
+            from shadow_gnn_tpu.parallel import multihost as mh
+            mesh = mh.global_dp_mesh() if multi else None
             if self.partition == "dp":
                 from shadow_gnn_tpu.parallel.dp import make_dp_train_step
-                from shadow_gnn_tpu.parallel import multihost as mh
                 step, shard, repl = make_dp_train_step(
-                    self, mode, n, return_logits=True,
-                    mesh=mh.global_dp_mesh() if multi else None)
+                    self, mode, n, return_logits=True, epoch_scan=True,
+                    mesh=mesh)
             elif self.partition == "feat":
                 from shadow_gnn_tpu.parallel.partition import (
                     make_sharded_train_step)
-                from shadow_gnn_tpu.parallel import multihost as mh
                 step, shard, repl, _ = make_sharded_train_step(
-                    self, mode, n, return_logits=True,
-                    mesh=mh.global_dp_mesh() if multi else None)
+                    self, mode, n, return_logits=True, epoch_scan=True,
+                    mesh=mesh)
             else:
                 from shadow_gnn_tpu.parallel.edgepart import (
                     make_edgepart_train_step)
-                from shadow_gnn_tpu.parallel import multihost as mh
-                # one program per EPOCH (scan over batches — per-batch
-                # dispatches cost ~7ms each through the remote-TPU
-                # tunnel).  Multi-process too: every host feeds its
-                # process-local batch columns of the [nb, B, ...] epoch
-                # arrays and logits come back replicated for the metric
-                # pass
                 step, shard, repl = make_edgepart_train_step(
                     self, mode, n, epoch_scan=True,
-                    return_logits=multi,
-                    mesh=mh.global_dp_mesh() if multi else None)
+                    return_logits=multi, mesh=mesh)
             self._partition_fns[mode] = (step, shard, repl)
         step, shard, repl = self._partition_fns[mode]
         params = repl(self.params)
         opt_state = repl(self.opt_state)
-        if self.partition == "edge":
-            if multi:
-                from shadow_gnn_tpu.parallel import multihost as mh
-                bsl = mh.process_slice(self.batch_size)
-                xs = shard(tuple(np.asarray(a)[:, bsl]
-                                 for a in (roots, rows, labels, w)))
-            else:
-                xs = shard((roots, rows, labels, w))
-            params, opt_state, losses, logits, ovf = step(
-                params, opt_state, rng, *xs)
-            self.partition_train_dispatches += 1
-            losses = np.asarray(losses)
-            preds = np.asarray(predict_fn(self.model_cfg, logits))
-            ovf = int(ovf)
+        if multi:
+            from shadow_gnn_tpu.parallel import multihost as mh
+            bsl = mh.process_slice(self.batch_size)
+            xs = shard(tuple(np.asarray(a)[:, bsl]
+                             for a in (roots, rows, labels, w)))
         else:
-            bsl = slice(None)
-            if multi:
-                from shadow_gnn_tpu.parallel import multihost as mh
-                bsl = mh.process_slice(self.batch_size)
-            losses, preds, ovf = [], [], 0
-            for ib in range(nb):
-                xs = shard(tuple(np.asarray(a[ib])[bsl]
-                                 for a in (roots, rows, labels, w)))
-                params, opt_state, loss, logits, ovf_b = step(
-                    params, opt_state, jax.random.fold_in(rng, ib), *xs)
-                self.partition_train_dispatches += 1
-                losses.append(loss)
-                preds.append(np.asarray(predict_fn(self.model_cfg, logits)))
-                ovf += int(ovf_b)
-            losses = np.asarray([float(x) for x in losses])
-            preds = np.stack(preds)
+            xs = shard((roots, rows, labels, w))
+        params, opt_state, losses, logits, ovf = step(
+            params, opt_state, rng, *xs)
+        self.partition_train_dispatches += 1
+        losses = np.asarray(losses)
+        preds = np.asarray(predict_fn(self.model_cfg, logits))
+        ovf = int(ovf)
         # back to ordinary default-device arrays for eval/checkpointing
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)), params)

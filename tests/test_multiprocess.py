@@ -151,11 +151,11 @@ TRAINER_WORKER = textwrap.dedent("""
                  partition_devices=4)
     tr.profiler.enabled = False          # keep the 2-process run lean
     final = tr.train()
-    if partition == "edge":
-        # multi-host epoch-scan: TRAIN epochs pay exactly ONE device
-        # dispatch per EPOCH (end=2 -> 2), not one per batch
-        assert tr.partition_train_dispatches == 2, \
-            tr.partition_train_dispatches
+    # multi-host epoch-scan on EVERY partition mode: TRAIN epochs pay
+    # exactly ONE device dispatch per EPOCH (end=2 -> 2), not one per
+    # batch
+    assert tr.partition_train_dispatches == 2, \
+        tr.partition_train_dispatches
     # VERDICT r2 #3 done-criterion: the DRIVER (not the step factories)
     # runs end to end multi-process, with identical metrics on all hosts
     for md, tag in ((TRAIN, "train"), (VALID, "valid"), (TEST, "test")):

@@ -150,3 +150,7 @@ def test_partition_train_epochs(tmp_path, partition):
     assert np.isfinite(s0["loss"]) and np.isfinite(sv["loss"])
     assert s1["loss"] < s0["loss"], (s0, s1)
     assert 0.0 <= sv["accuracy"] <= 1.0
+    # EVERY partition mode runs the whole-epoch scan program: exactly
+    # one device dispatch per TRAIN epoch (2 epochs -> 2), never one
+    # per batch
+    assert tr.partition_train_dispatches == 2, tr.partition_train_dispatches
