@@ -226,27 +226,23 @@ def _find_dir_with(root: str, filenames) -> Optional[str]:
     return None
 
 
-def _read_csv_gz(path: str, dtype) -> np.ndarray:
-    """Numeric CSV (possibly .gz) -> ndarray, no pandas dependency."""
-    import gzip
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rt") as f:
-        txt = f.read()
-    # strip exactly ONE terminator newline: further trailing newlines
-    # are trailing empty rows (NaN rows) and must be preserved
-    if txt.endswith("\n"):
-        txt = txt[:-1]
-    first = txt.lstrip("\n").split("\n", 1)[0]
-    ncol = first.count(",") + 1
-    # empty fields/lines are pandas' NaN na_rep in OGB raw CSVs; they
-    # must stay POSITIONAL — the fast whitespace split would collapse
-    # them and silently shift every following value.  Normalize them to
-    # the literal 'nan' TEXTUALLY (all C-speed replaces, no per-value
-    # python loop — these files have 100M+ rows at papers100M scale),
-    # then the vectorized parse handles everything.
+def _parse_csv_block(txt: str, ncol: int, dtype) -> np.ndarray:
+    """Parse ONE block of complete CSV lines (joined by '\\n', NO
+    terminator on the last line) into a flat array.
+
+    Empty fields/lines are pandas' NaN na_rep in OGB raw CSVs; they
+    must stay POSITIONAL — the fast whitespace split would collapse
+    them and silently shift every following value.  Normalize them to
+    the literal 'nan' TEXTUALLY (all C-speed replaces, no per-value
+    python loop), then the vectorized parse handles everything.  A
+    block ENDING with '\\n' carries a trailing empty line (= one full
+    NaN row) — the streaming caller cuts chunks at line boundaries, so
+    an empty line landing exactly on a chunk boundary arrives here as
+    that trailing newline.
+    """
     has_empty = (",," in txt or ",\n" in txt or "\n," in txt
                  or "\n\n" in txt or txt.startswith((",", "\n"))
-                 or txt.endswith(",") or txt == "")
+                 or txt.endswith((",", "\n")) or txt == "")
     if has_empty:
         empty_row = ",".join(["nan"] * ncol)
         if ncol > 1:
@@ -264,9 +260,59 @@ def _read_csv_gz(path: str, dtype) -> np.ndarray:
             txt = empty_row + txt
         if txt.endswith("\n") or txt == "":
             txt += empty_row
-    flat = np.array(txt.replace(",", " ").split(), np.float64)
-    arr = flat.reshape(-1, ncol) if ncol > 1 else flat
-    return arr.astype(dtype)
+    return np.array(txt.replace(",", " ").split(), np.float64).astype(dtype)
+
+
+def _read_csv_gz(path: str, dtype, chunk_bytes: int = 64 << 20) -> np.ndarray:
+    """Numeric CSV (possibly .gz) -> ndarray, no pandas dependency.
+
+    STREAMED in bounded text chunks (the reference reads these files
+    through pandas' C reader, data_converter.py:164-242): a
+    papers100M-class node-feat CSV is ~50+ GB of text, so the file is
+    never materialized as one Python str.  Chunks are cut at the last
+    line boundary (the partial tail line carries over), each block of
+    complete lines is normalized/parsed independently at C speed, and
+    per-block results are converted to the target dtype immediately —
+    peak transient memory is O(chunk_bytes) text + one extra copy of
+    the OUTPUT array at the final concatenate, never O(file) text.
+
+    Semantics: exactly ONE terminator newline is stripped (the text
+    after the file's last '\\n' is the final row; '' means the file was
+    newline-terminated); further trailing newlines are trailing empty
+    rows (NaN rows) and are preserved.  Empty fields/lines spanning
+    chunk boundaries parse identically to the whole-file read because
+    blocks always hold complete lines (see _parse_csv_block).
+    """
+    import gzip
+    opener = gzip.open if path.endswith(".gz") else open
+    parts, carry, ncol = [], "", None
+    with opener(path, "rt") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            carry += chunk
+            cut = carry.rfind("\n")
+            if cut < 0:
+                continue                             # no complete line yet
+            block, carry = carry[:cut], carry[cut + 1:]
+            if ncol is None:
+                first_data = block.lstrip("\n")
+                if not first_data:
+                    # only empty lines so far — row width still unknown;
+                    # put the block back until a data line arrives
+                    carry = block + "\n" + carry
+                    continue
+                ncol = first_data.split("\n", 1)[0].count(",") + 1
+            parts.append(_parse_csv_block(block, ncol, dtype))
+    # EOF: carry is the text after the last '\n' (no newline in it) —
+    # the final unterminated row, or '' for the stripped terminator
+    if carry != "" or ncol is None:
+        if ncol is None:                             # no '\n' in the file
+            ncol = carry.split("\n", 1)[0].count(",") + 1
+        parts.append(_parse_csv_block(carry, ncol, dtype))
+    flat = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    return flat.reshape(-1, ncol) if ncol > 1 else flat
 
 
 def _read_split_file(path: str) -> np.ndarray:

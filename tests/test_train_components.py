@@ -260,6 +260,55 @@ def test_read_csv_gz_preserves_empty_fields(tmp_path):
     # adjacent empty fields don't merge
     g = _read_csv_gz(w("g.csv", "1,,,4\n5,6,7,8\n"), np.float64)
     assert g.shape == (2, 4) and np.isnan(g[0, 1:3]).all() and g[0, 3] == 4
+    # single trailing empty row in a multi-col file survives too
+    h = _read_csv_gz(w("h.csv", "1,2\n\n"), np.float64)
+    assert h.shape == (2, 2) and np.isnan(h[1]).all()
+
+
+def test_read_csv_gz_streams_across_chunk_boundaries(tmp_path):
+    """The parser reads in bounded chunks (a papers100M-class feat CSV
+    is ~50+ GB of text); empty fields/lines falling EXACTLY on chunk
+    boundaries must parse identically to the whole-file read.  Every
+    tiny chunk size sweeps the cut through every byte position of each
+    fixture, covering blocks that start/end with ',' or '\\n'."""
+    from shadow_gnn_tpu.data.converter import _read_csv_gz
+
+    fixtures = [
+        "1,2\n3,4\n",          # plain
+        "1,\n,4\n",            # leading/trailing empty fields
+        "5\n\n7\n",            # empty line, single col
+        "1,2\n\n3,4\n",        # empty line, multi col
+        "1\n\n\n",             # trailing NaN rows
+        "1,,,4\n5,6,7,8\n",    # adjacent empties
+        "\n\n1,2\n3,4",        # leading empty rows + unterminated tail
+        ",,\n1,2,3\n,,\n",     # full-NaN first/last rows
+        "1,2\n\n",             # single trailing empty row
+    ]
+    for txt in fixtures:
+        p = tmp_path / "x.csv"
+        p.write_text(txt)
+        ref = _read_csv_gz(str(p), np.float64)
+        for cb in (1, 2, 3, 5, 7):
+            got = _read_csv_gz(str(p), np.float64, chunk_bytes=cb)
+            np.testing.assert_array_equal(got, ref, err_msg=(txt, cb))
+
+    # a bigger .gz file with scattered empties, parsed at a 1MB chunk
+    # size (forces many boundary cuts) == the one-chunk parse
+    import gzip
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(200_000):
+        r = [str(x) for x in rng.integers(0, 100, 4)]
+        if i % 997 == 0:
+            r[rng.integers(0, 4)] = ""
+        rows.append(",".join(r) if i % 4001 else "")
+    big = tmp_path / "big.csv.gz"
+    with gzip.open(big, "wt") as f:
+        f.write("\n".join(rows) + "\n")
+    whole = _read_csv_gz(str(big), np.float64, chunk_bytes=1 << 30)
+    chunked = _read_csv_gz(str(big), np.float64, chunk_bytes=1 << 20)
+    assert whole.shape == (200_000, 4)
+    np.testing.assert_array_equal(whole, chunked)
 
 
 def test_tarball_ingest_ogb_link_pt(tmp_path):
