@@ -1,0 +1,363 @@
+"""papers100M at 1:1 scale — MEASURED, not projected (VERDICT r4 next #1).
+
+This host matches the reference's documented papers100M machine
+(`/root/reference/README.md:79-86`: >=4 CPU cores, 128 GB RAM; this
+box: 4 cores, 125 GB).  The harness builds a synthetic power-law graph
+at the REAL ogbn-papers100M shape — 111,059,956 nodes and ~1.6e9
+stored (symmetric) edges — and measures every stage of the leaderboard
+pipeline (`config_train/papers100M/leaderboard/gat_ppr.yml`: PPR k=400,
+eps=1e-5, threshold 0.002, batch 64) at full scale:
+
+  --phase gen   host graph build -> tmp/papers1to1/{indptr,indices}.npy
+                (int64 indptr + int32 indices, the on-disk CSR a real
+                papers100M conversion produces; ~7.3 GB)
+  --phase ppr   native forward-push PPR precompute for the REAL train
+                split size (1,207,179 targets), reference-format bin
+                cache write + read-back verify, induction sizing via
+                the production planner (sampling/induction.
+                plan_ppr_induction — the same code Trainer uses)
+  --phase tpu   load the CSR into one chip's HBM (~7.3 GB CSR +
+                ~3.9 GB top-k tables), run sample-only and
+                sample+induce epochs over all 1.2M targets at k=400,
+                batch 64 — the measurement the 10M-proxy numbers
+                (BENCH.md "10M-node graph") projected until now
+  --phase refbins  export the CSR in the reference backend's raw-bin
+                layout (`ParallelSampler.cpp:70-86` read_array_from_bin)
+                so the UNMODIFIED reference engine can be timed on the
+                same graph without pybind vector copies
+
+Each phase prints one JSON line; phases persist artifacts under
+tmp/papers1to1/ so they can run in separate processes (gen+ppr on the
+CPU, tpu against the real chip).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PAPERS = 111_059_956
+N_TRAIN_TARGETS = 1_207_179
+E_PAIRS = 800_000_000          # undirected pairs -> ~1.6e9 stored edges
+K = 400
+ALPHA = 0.85
+EPS = 1e-5
+THRESHOLD = 0.002
+BATCH = 64
+WORK = os.path.join(REPO, "tmp", "papers1to1")
+
+
+def _zipf_nodes(rng, size, n):
+    """Endpoint sample with weight (i+1)^-0.75 via inverse CDF
+    (same family as data/synthetic.make_random_graph power_law, whose
+    rng.choice(p=...) does not scale to 1.6e9 draws)."""
+    u = rng.random(size)
+    return np.minimum((u ** 4 * n).astype(np.int64), n - 1)
+
+
+def phase_gen(n, e_pairs, seed=0):
+    os.makedirs(WORK, exist_ok=True)
+    t0 = time.time()
+    rng = np.random.default_rng(seed)
+    # encoded symmetric edge list: key = u * n + v for both directions
+    key = np.empty(2 * e_pairs, np.int64)
+    chunk = 50_000_000
+    w = 0
+    for lo in range(0, e_pairs, chunk):
+        m = min(chunk, e_pairs - lo)
+        u = _zipf_nodes(rng, m, n)
+        v = _zipf_nodes(rng, m, n)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        key[w:w + u.size] = u * n + v
+        key[w + u.size:w + 2 * u.size] = v * n + u
+        w += 2 * u.size
+        print(f"[gen] {min(lo + chunk, e_pairs)}/{e_pairs} pairs "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+    key = key[:w]
+    t1 = time.time()
+    key.sort(kind="stable")
+    print(f"[gen] sorted {w} keys in {time.time() - t1:.0f}s",
+          file=sys.stderr, flush=True)
+    # dedup consecutive equal keys (duplicate sampled pairs)
+    mask = np.empty(key.size, bool)
+    mask[0] = True
+    np.not_equal(key[1:], key[:-1], out=mask[1:])
+    key = key[mask]
+    del mask
+    e = key.size
+    indices = (key % n).astype(np.int32)
+    # row counts -> indptr, chunked to bound the bincount temporaries
+    counts = np.zeros(n, np.int64)
+    for lo in range(0, e, chunk):
+        rows = (key[lo:lo + chunk] // n).astype(np.int64)
+        counts += np.bincount(rows, minlength=n)
+    del key
+    indptr = np.empty(n + 1, np.int64)
+    indptr[0] = 0
+    np.cumsum(counts, out=indptr[1:])
+    deg_max = int(counts.max())
+    deg_mean = float(counts.mean())
+    del counts
+    np.save(os.path.join(WORK, "indptr.npy"), indptr)
+    np.save(os.path.join(WORK, "indices.npy"), indices)
+    out = {
+        "phase": "gen", "nodes": n, "stored_edges": e,
+        "deg_max": deg_max, "deg_mean": round(deg_mean, 2),
+        "csr_bytes": int(indptr.nbytes + indices.nbytes),
+        "gen_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def _load_csr():
+    indptr = np.load(os.path.join(WORK, "indptr.npy"), mmap_mode="r")
+    indices = np.load(os.path.join(WORK, "indices.npy"), mmap_mode="r")
+    return indptr, indices
+
+
+def _targets(n, n_targets, seed=1):
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)[:n_targets]
+    return np.sort(perm).astype(np.int64)
+
+
+def phase_ppr(n_targets):
+    from shadow_gnn_tpu.native import ppr_push_native
+    from shadow_gnn_tpu.sampling import ppr as ppr_mod
+    from shadow_gnn_tpu.sampling.batch import default_n_pad
+    from shadow_gnn_tpu.sampling.induction import plan_ppr_induction
+
+    indptr, indices = _load_csr()
+    n = indptr.size - 1
+    # materialize in RAM: the push random-accesses the whole CSR
+    t0 = time.time()
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    t_load = time.time() - t0
+    targets = _targets(n, n_targets)
+
+    t0 = time.time()
+    tab_n, tab_s = ppr_push_native(indptr, indices, targets, K,
+                                   1 - ALPHA, EPS, as_dense=True)
+    t_push = time.time() - t0
+    rate = n_targets / t_push
+    print(f"[ppr] {n_targets} targets in {t_push:.0f}s = {rate:.0f}/s",
+          file=sys.stderr, flush=True)
+    np.save(os.path.join(WORK, "tab_n.npy"), tab_n)
+    np.save(os.path.join(WORK, "tab_s.npy"), tab_s)
+    np.save(os.path.join(WORK, "targets.npy"), targets)
+
+    # reference-contract bin cache (ppr_float/<neighs|scores>_...bin)
+    d = os.path.join(WORK, "papers100M")
+    fn, fs = ppr_mod.ppr_cache_paths(WORK, "papers100M", True, "train",
+                                     ALPHA, EPS, K)
+    os.makedirs(os.path.dirname(fn), exist_ok=True)
+    t0 = time.time()
+    ppr_mod.write_ppr_cache(fn, fs, n, targets, tab_n, tab_s, K, ALPHA, EPS)
+    t_write = time.time() - t0
+    cache_bytes = os.path.getsize(fn) + os.path.getsize(fs)
+    t0 = time.time()
+    back = ppr_mod.read_ppr_cache(fn, fs, K, ALPHA, EPS)
+    assert back is not None
+    nv, sv = back
+    t_read = time.time() - t0
+    rng = np.random.default_rng(3)
+    for i in rng.choice(n_targets, 10, replace=False):
+        t = int(targets[i])
+        valid = tab_n[i] >= 0
+        np.testing.assert_array_equal(nv[t], tab_n[i][valid])
+        np.testing.assert_allclose(sv[t], tab_s[i][valid], rtol=1e-6)
+    del nv, sv, back
+
+    # production induction sizing (the same planner Trainer uses)
+    deg = np.diff(indptr)
+    scope_deg = (deg[np.clip(tab_n, 0, n - 1)] * (tab_n >= 0))
+    root_deg = deg[targets]
+    n_pad = default_n_pad({"method": "ppr", "k": K})
+    plan = plan_ppr_induction(scope_deg, root_deg, n_pad=n_pad,
+                              num_targets=1, batch_size=BATCH,
+                              undirected=True)
+    with open(os.path.join(WORK, "plan.json"), "w") as f:
+        json.dump(plan, f)
+    out = {
+        "phase": "ppr", "nodes": int(n), "targets": n_targets, "k": K,
+        "epsilon": EPS, "alpha": ALPHA,
+        "csr_load_s": round(t_load, 1),
+        "push_s": round(t_push, 1),
+        "push_targets_per_s": round(rate, 1),
+        "cache_write_s": round(t_write, 1),
+        "cache_read_s": round(t_read, 1),
+        "cache_bytes": cache_bytes,
+        "scope_nodes_mean": round(float((tab_n >= 0).sum(1).mean()), 1),
+        "induction_plan": plan,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def phase_tpu(n_roots, epochs):
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from shadow_gnn_tpu.data.graph import DeviceGraph
+    from shadow_gnn_tpu.sampling.batch import SamplerConfig, default_n_pad
+    from shadow_gnn_tpu.sampling.samplers import (PPRTables, sample_nodes_ppr,
+                                                  sample_subgraphs)
+
+    indptr, indices = _load_csr()
+    n = indptr.size - 1
+    with open(os.path.join(WORK, "plan.json")) as f:
+        plan = json.load(f)
+    tab_n = np.load(os.path.join(WORK, "tab_n.npy"), mmap_mode="r")
+    tab_s = np.load(os.path.join(WORK, "tab_s.npy"), mmap_mode="r")
+    targets = np.load(os.path.join(WORK, "targets.npy"))
+    n_pad = default_n_pad({"method": "ppr", "k": K})
+    # add_self_edge matches the gat architecture of the leaderboard yml
+    # (utils.py:126-131 auto-forces it); hops aug likewise
+    cfg = SamplerConfig(method="ppr", n_pad=n_pad, k=K, alpha=ALPHA,
+                        epsilon=EPS, threshold=THRESHOLD,
+                        add_self_edge=True, aug_feats=("hops",), **plan)
+    dev = jax.devices()[0]
+    print(f"[tpu] platform={dev.platform} plan={plan}", file=sys.stderr,
+          flush=True)
+
+    t0 = time.time()
+    graph = DeviceGraph.from_csr(np.asarray(indptr), np.asarray(indices))
+    tabs = PPRTables(jnp.asarray(np.asarray(tab_n)),
+                     jnp.asarray(np.asarray(tab_s)))
+    jax.block_until_ready((graph.indptr, graph.indices, tabs))
+    t_h2d = time.time() - t0
+    hbm_bytes = (graph.indptr.nbytes + graph.indices.nbytes
+                 + tabs.neighs.nbytes + tabs.scores.nbytes)
+    print(f"[tpu] CSR+tables resident: {hbm_bytes / 1e9:.2f} GB "
+          f"in {t_h2d:.1f}s", file=sys.stderr, flush=True)
+
+    if n_roots <= 0 or n_roots > targets.size:
+        n_roots = targets.size
+    nb = n_roots // BATCH
+    rng_np = np.random.default_rng(11)
+    perm = rng_np.permutation(targets.size)[:nb * BATCH]
+    # [nb, B, T=1]: sample_nodes_ppr/induce take [B, T] roots per step
+    roots = jnp.asarray(targets[perm].reshape(nb, BATCH, 1).astype(np.int32))
+    rows = jnp.asarray(perm.reshape(nb, BATCH, 1).astype(np.int32))
+
+    def body(stage, gr, tabs, carry, xs):
+        rng = carry
+        roots_b, rows_b = xs
+        rng, sub = jax.random.split(rng)
+        if stage == "sample":
+            nodes, sc = sample_nodes_ppr(cfg, gr, roots_b, rows_b, tabs)
+            return rng, (nodes.sum(), sc.sum())
+        b = sample_subgraphs(cfg, gr, roots_b, rng=sub, table_rows=rows_b,
+                             tables=tabs)
+        return rng, (b.adj.sum(), b.hop.sum() + b.size.sum())
+
+    def mk(stage):
+        @jax.jit
+        def ep(rng, roots, rows, gr, tabs):
+            return jax.lax.scan(functools.partial(body, stage, gr, tabs),
+                                rng, (roots, rows))
+        return ep
+
+    out = {
+        "phase": "tpu", "platform": dev.platform, "nodes": int(n),
+        "stored_edges": int(indices.size), "k": K, "batch": BATCH,
+        "roots_per_epoch": nb * BATCH, "n_pad": n_pad,
+        "induction_plan": plan,
+        "h2d_s": round(t_h2d, 1),
+        "hbm_resident_gb": round(hbm_bytes / 1e9, 2),
+    }
+    rng = jax.random.PRNGKey(0)
+    for stage in ("sample", "induce"):
+        ep = mk(stage)
+        t0 = time.time()
+        _, o = ep(rng, roots, rows, graph, tabs)
+        _ = float(o[0].sum())
+        t_compile = time.time() - t0
+        times = []
+        for _ in range(epochs):
+            t1 = time.time()
+            _, o = ep(rng, roots, rows, graph, tabs)
+            _ = float(o[0].sum())
+            times.append(time.time() - t1)
+        t_med = float(np.median(times))
+        spread = (max(times) - min(times)) / t_med if len(times) > 1 else 0.0
+        out[f"{stage}_epoch_s"] = round(t_med, 2)
+        out[f"{stage}_epoch_spread"] = round(spread, 3)
+        out[f"{stage}_subg_per_s"] = round(nb * BATCH / t_med, 1)
+        out[f"{stage}_first_epoch_incl_compile_s"] = round(t_compile, 1)
+        print(f"[tpu] {stage}: {out[f'{stage}_subg_per_s']} subg/s "
+              f"(epoch {t_med:.1f}s, spread {spread:.1%})",
+              file=sys.stderr, flush=True)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def phase_refbins():
+    """Export the reference backend's raw-bin CSR layout
+    (adj_<full>_<indptr|indices|data>.bin, ParallelSampler.cpp:70-86:
+    int64 header = element count, then the payload words; data as f32)
+    so the unmodified C++ engine loads the same graph without pybind
+    vector copies."""
+    indptr, indices = _load_csr()
+    d = os.path.join(WORK, "papers100M", "cpp")
+    os.makedirs(d, exist_ok=True)
+    t0 = time.time()
+
+    def dump(name, arr, dtype):
+        path = os.path.join(d, name)
+        with open(path, "wb") as f:
+            np.int64(arr.size).tofile(f)
+            np.ascontiguousarray(arr, dtype=dtype).tofile(f)
+        return os.path.getsize(path)
+
+    total = dump("adj_full_und_indptr.bin", indptr, np.int64)
+    total += dump("adj_full_und_indices.bin", indices, np.uint32)
+    # edge weights: all-ones f32 (the reference discards values on
+    # undirected conversion, graph_utils.py:25-27)
+    path = os.path.join(d, "adj_full_und_data.bin")
+    with open(path, "wb") as f:
+        np.int64(indices.size).tofile(f)
+        one = np.ones(1 << 20, np.float32)
+        left = indices.size
+        while left > 0:
+            m = min(left, one.size)
+            one[:m].tofile(f)
+            left -= m
+    total += os.path.getsize(path)
+    out = {"phase": "refbins", "bytes": total,
+           "write_s": round(time.time() - t0, 1), "dir": d}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", required=True,
+                    choices=["gen", "ppr", "tpu", "refbins"])
+    ap.add_argument("--nodes", type=int, default=N_PAPERS)
+    ap.add_argument("--pairs", type=int, default=E_PAIRS)
+    ap.add_argument("--targets", type=int, default=N_TRAIN_TARGETS)
+    ap.add_argument("--roots", type=int, default=0,
+                    help="roots per measured epoch (0 = the full target set)")
+    ap.add_argument("--epochs", type=int, default=3)
+    args = ap.parse_args()
+    if args.phase == "gen":
+        phase_gen(args.nodes, args.pairs)
+    elif args.phase == "ppr":
+        phase_ppr(args.targets)
+    elif args.phase == "refbins":
+        phase_refbins()
+    else:
+        phase_tpu(args.roots, args.epochs)
+
+
+if __name__ == "__main__":
+    main()

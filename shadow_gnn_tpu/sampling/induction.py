@@ -40,6 +40,78 @@ def rows_gather_bytes(batch: int, n_pad: int, deg_cap: int) -> int:
     return batch * n_pad * r_blocks * 512
 
 
+def bucket_cap(n: int) -> int:
+    """Round an induction capacity up to a shared bucket (~12% geometric
+    steps, multiples of 64).
+
+    VALID and TEST compute slightly different exact candidate caps from
+    their scope degrees; bucketing them usually lands both on the same
+    value so they share ONE compiled eval program (caps are static
+    buffer sizes, so any difference means a recompile)."""
+    if n <= 64:
+        return 64
+    b = 64
+    while b < n:
+        b = -(-(b * 9 // 8) // 64) * 64
+    return b
+
+
+def plan_ppr_induction(scope_deg, root_deg, *, n_pad: int, num_targets: int,
+                       batch_size: int, undirected: bool) -> dict:
+    """Exact induction sizing for a deterministic (table-backed) scope.
+
+    Scopes are subsets of the PPR table rows, so per-root candidate
+    totals and hub counts are computable host-side; on hub-heavy graphs
+    the degree-capped ``rows``+hub strategy bounds the gather buffer
+    (the round-1 cand_cap blowup: one 1e5-degree table entry used to
+    inflate cand_cap for every batch).  ``scope_deg`` is the [T, k]
+    degree table of scope members (0 at padding), ``root_deg`` the [T]
+    root degrees.  Returns the SamplerConfig field overrides
+    (``induction`` / ``deg_cap`` / ``hub_slots`` / ``cand_cap``).
+
+    Shared by the training pipeline (``Trainer._ensure_tables``) and the
+    papers100M 1:1-scale harness so both size the device programs with
+    the same cost model.
+    """
+    import numpy as np
+
+    scope_max = int(max(scope_deg.max() if scope_deg.size else 1,
+                        root_deg.max() if root_deg.size else 1, 1))
+    choices = sorted({d for d in (64, 128, 256, 512, 1024, 2048)
+                      if d < scope_max} | {scope_max})
+    gbatch = max(batch_size, 256)
+    choices = [d for d in choices
+               if rows_gather_bytes(gbatch, n_pad, d)
+               <= ROWS_GATHER_BUDGET] or [choices[0]]
+    best = None
+    for dc in choices:
+        h_rows = (scope_deg > dc).sum(1) + (root_deg > dc)
+        h_max = int(h_rows.max())
+        # cost model (per subgraph, ns-ish units): the fused row compare
+        # is n_pad^2 x deg_cap VPU compares (~2.4e12/s); the block
+        # gather streams R*512 bytes/member at ~819 GB/s; each hub pair
+        # costs a ~24-step binary search of ~100ns element gathers
+        cost = n_pad * n_pad * dc / 2400 \
+            + rows_gather_bytes(1, n_pad, dc) / 819 \
+            + 2400 * (h_max * num_targets) ** 2
+        if best is None or cost < best[0]:
+            best = (cost, dc, h_max)
+    _, dc, h_max = best
+    if h_max > 0 and not undirected and scope_max > 4096:
+        # DIRECTED hub-heavy scope: no hub tier possible — candidate
+        # enumeration, exact-sized (no shipped dataset hits this; all
+        # are undirected)
+        e_rows = scope_deg.sum(1) + root_deg
+        cap = int(e_rows.max()) * num_targets
+        return dict(induction="cand", cand_cap=bucket_cap(cap + 8))
+    if h_max > 0 and undirected:
+        return dict(induction="rows", deg_cap=bucket_cap(dc),
+                    hub_slots=min(h_max * num_targets + 2, n_pad))
+    # exact row width: covers every scope member's degree
+    return dict(induction="rows", deg_cap=bucket_cap(scope_max),
+                hub_slots=0)
+
+
 def membership_matrix(graph: DeviceGraph, nodes: jax.Array) -> jax.Array:
     """adj[b, i, j] = 1.0 iff edge (nodes[b,i] -> nodes[b,j]) in graph.
 

@@ -71,23 +71,9 @@ def weighted_loss_fn(cfg: ModelConfig, logits, labels, weights):
 # to the gather it budgets (sampling/induction.py) and is shared with
 # the cache-build chunk sizing (sampling/cache.py)
 from shadow_gnn_tpu.sampling.induction import (ROWS_GATHER_BUDGET,
+                                               bucket_cap,
+                                               plan_ppr_induction,
                                                rows_gather_bytes)
-
-
-def bucket_cap(n: int) -> int:
-    """Round an induction capacity up to a shared bucket (~12% geometric
-    steps, multiples of 64).
-
-    VALID and TEST compute slightly different exact candidate caps from
-    their scope degrees; bucketing them usually lands both on the same
-    value so they share ONE compiled eval program (caps are static
-    buffer sizes, so any difference means a recompile)."""
-    if n <= 64:
-        return 64
-    b = 64
-    while b < n:
-        b = -(-(b * 9 // 8) // 64) * 64
-    return b
 
 
 from typing import NamedTuple
@@ -443,57 +429,17 @@ class Trainer:
                 full_n[targets] = tab_n
                 full_s[targets] = tab_s
                 tab_n, tab_s = full_n, full_s
-            # deterministic scope -> exact induction sizing.  Scopes are
-            # subsets of the table rows, so per-root candidate totals and
-            # hub counts are computable host-side; on hub-heavy graphs
-            # the degree-capped 'hub' strategy bounds the candidate
-            # buffer (the round-1 cand_cap blowup: one 1e5-degree table
-            # entry used to inflate cand_cap for every batch)
+            # deterministic scope -> exact induction sizing via the
+            # shared cost model (sampling/induction.plan_ppr_induction)
             deg = np.diff(self._host_adj[mode][0]).astype(np.int64)
             scope_deg = (deg[np.clip(tab_n, 0, self.num_nodes - 1)]
                          * (tab_n >= 0))                       # [T, k_tab]
             root_deg = deg[targets]
-            scope_max = int(max(scope_deg.max() if scope_deg.size else 1,
-                                root_deg.max() if root_deg.size else 1, 1))
-            choices = sorted({d for d in (64, 128, 256, 512, 1024, 2048)
-                              if d < scope_max} | {scope_max})
-            gbatch = max(self.batch_size, 256)
-            choices = [d for d in choices
-                       if rows_gather_bytes(gbatch, cfg.n_pad, d)
-                       <= ROWS_GATHER_BUDGET] or [choices[0]]
-            best = None
-            for dc in choices:
-                h_rows = (scope_deg > dc).sum(1) + (root_deg > dc)
-                h_max = int(h_rows.max())
-                # cost model (per subgraph, ns-ish units): the fused
-                # row compare is n_pad^2 x deg_cap VPU compares
-                # (~2.4e12/s); the block gather streams R*512
-                # bytes/member at ~819 GB/s; each hub pair costs a
-                # ~24-step binary search of ~100ns element gathers
-                cost = cfg.n_pad * cfg.n_pad * dc / 2400 \
-                    + rows_gather_bytes(1, cfg.n_pad, dc) / 819 \
-                    + 2400 * (h_max * self.num_targets) ** 2
-                if best is None or cost < best[0]:
-                    best = (cost, dc, h_max)
-            _, dc, h_max = best
             import dataclasses as _dc_mod
-            if h_max > 0 and not self.undirected and scope_max > 4096:
-                # DIRECTED hub-heavy scope: no hub tier possible —
-                # candidate enumeration, exact-sized (no shipped
-                # dataset hits this; all are undirected)
-                e_rows = scope_deg.sum(1) + root_deg
-                cap = int(e_rows.max()) * self.num_targets
-                cfg_fields = dict(induction="cand",
-                                  cand_cap=bucket_cap(cap + 8))
-            elif h_max > 0 and self.undirected:
-                cfg_fields = dict(
-                    induction="rows", deg_cap=bucket_cap(dc),
-                    hub_slots=min(h_max * self.num_targets + 2, cfg.n_pad))
-            else:
-                # exact row width: covers every scope member's degree
-                cfg_fields = dict(induction="rows",
-                                  deg_cap=bucket_cap(scope_max),
-                                  hub_slots=0)
+            cfg_fields = plan_ppr_induction(
+                scope_deg, root_deg, n_pad=cfg.n_pad,
+                num_targets=self.num_targets, batch_size=self.batch_size,
+                undirected=self.undirected)
             br["cfg"][mode] = _dc_mod.replace(br["cfg"][mode], **cfg_fields)
             tab = PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s))
             memo[memo_key] = (tab, cfg_fields)
