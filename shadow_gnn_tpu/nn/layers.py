@@ -103,19 +103,52 @@ class TorchLinear(nn.Module):
     # from the MXU (kernel viewed [f_in, H, dh]) instead of the flat
     # [..., N, features] — same parameters, checkpoint-compatible.
     head_major: int = 0
+    # >0: the INPUT is already head-major [..., H_in, N, dh_in] (full
+    # cross-layer residency): contract over both the head and dh axes
+    # (= the flat feature axis) without materializing the flat layout.
+    # Parameters stay the flat [f_in, features] matrix.
+    head_major_in: int = 0
 
     @nn.compact
     def __call__(self, x):
-        w = self.param("kernel", torch_linear_init, (x.shape[-1], self.features))
-        if self.head_major > 0:
+        if self.head_major_in > 0:
+            assert self.head_major > 0, "resident input implies hm output"
+            hi = self.head_major_in
+            h = self.head_major
+            f_in = hi * x.shape[-1]
+            w = self.param("kernel", torch_linear_init, (f_in, self.features))
+            import os as _os
+            if _os.environ.get("SHADOW_HM_TRANSFORM", "direct") == "2step":
+                # A/B arm: contract dh per input head and reduce h
+                # inside the dot, emitting the flat feature axis; the
+                # hm repack is a small transpose of the OUTPUT.  Wins
+                # the isolated microbench (hm_transform_microbench.py)
+                # but LOSES end to end (papers_gat3 26.8 vs 24.1 ms):
+                # its output transpose cannot CSE with the kernel-
+                # boundary relayouts the direct form shares.
+                w3 = w.reshape(hi, x.shape[-1], self.features)
+                y = jnp.einsum("...hnd,hdz->...nz", x, w3.astype(x.dtype),
+                               preferred_element_type=x.dtype)
+                y = y.reshape(y.shape[:-1] + (h, self.features // h))
+                y = jnp.swapaxes(y, -3, -2)                 # [..., h, n, dh]
+            else:
+                w4 = w.reshape(hi, x.shape[-1], h, self.features // h)
+                y = jnp.einsum("...hnd,hdke->...kne", x, w4.astype(x.dtype),
+                               preferred_element_type=x.dtype)
+        elif self.head_major > 0:
+            w = self.param("kernel", torch_linear_init,
+                           (x.shape[-1], self.features))
             h = self.head_major
             w3 = w.reshape(x.shape[-1], h, self.features // h)
             y = jnp.einsum("...nf,fhd->...hnd", x, w3.astype(x.dtype),
                            preferred_element_type=x.dtype)
         else:
+            w = self.param("kernel", torch_linear_init,
+                           (x.shape[-1], self.features))
             y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
         if self.use_bias:
-            fan_in = x.shape[-1]
+            fan_in = (self.head_major_in * x.shape[-1]
+                      if self.head_major_in > 0 else x.shape[-1])
 
             def bias_init(key, shape, dtype=jnp.float32):
                 bound = 1.0 / jnp.sqrt(fan_in)
@@ -149,6 +182,10 @@ class Act(nn.Module):
 
     act_name: str
     dim_out: int = 1
+    # >0: apply to head-major [..., H, N, dh] activations — the flat
+    # per-channel prelu+ slope vector broadcasts as [H, 1, dh]
+    # (parameter stays the flat [dim_out], checkpoint-compatible)
+    head_major: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -156,6 +193,8 @@ class Act(nn.Module):
             n = self.dim_out if self.act_name == "prelu+" else 1
             a = self.param("prelu_alpha",
                            lambda k, s: jnp.full(s, 0.25, jnp.float32), (n,))
+            if self.act_name == "prelu+" and self.head_major > 0:
+                a = a.reshape(self.head_major, 1, -1)
             return jnp.where(x > 0, x, a * x)
         return get_act(self.act_name)(x)
 
@@ -296,6 +335,23 @@ def pairnorm(feat: jax.Array, node_mask: jax.Array, s: float = 1.0) -> jax.Array
     return s * centered / norm * m
 
 
+def pairnorm_hm(feat: jax.Array, node_mask: jax.Array,
+                s: float = 1.0) -> jax.Array:
+    """:func:`pairnorm` on head-major [B, H, N, dh] activations without
+    materializing the flat layout: the per-feature centering runs over
+    the node axis (2) and the per-node L2 norm reduces over BOTH the
+    head and dh axes (= the flat feature axis).  Numerically equal to
+    ``pairnorm(flat)`` reshaped (tests/test_layers.py)."""
+    m = node_mask[:, None, :, None].astype(feat.dtype)      # [B,1,N,1]
+    cnt = jnp.clip(m.sum(2, keepdims=True), 1.0, None)
+    mean = (feat * m).sum(2, keepdims=True) / cnt
+    centered = (feat - mean) * m
+    null = (jnp.abs(centered).sum((1, 3), keepdims=True) == 0)
+    centered = jnp.where(null, feat, centered)
+    norm = jnp.sqrt((centered ** 2).sum((1, 3), keepdims=True) + 1e-12)
+    return s * centered / norm * m
+
+
 class _ConvBase(nn.Module):
     """Shared config for conv layers."""
 
@@ -307,6 +363,10 @@ class _ConvBase(nn.Module):
     # GAT only: fused Pallas masked-attention kernel (ops/pallas_gat.py)
     # instead of the dense [B,N,N,H] score chain
     fused_att: bool = False
+    # GAT only: full cross-layer head-major residency — the layer
+    # consumes AND emits [b, h, n, dh]; the model keeps the JK list
+    # head-major and ResPool converts once (round-5, VERDICT r4 #4)
+    hm_chain: bool = False
 
     def _norm_params(self, shape):
         scale = self.param("scale", nn.initializers.ones, shape)
@@ -324,6 +384,17 @@ class _ConvBase(nn.Module):
     def _dropout(self, x, train):
         if self.dropout <= 0.0:
             return x
+        if x.ndim == 4 and train:
+            # head-major activations: draw the mask bits FLAT and
+            # bitcast-reshape.  RngBitGenerator picks its own layout
+            # for 4-D shapes ({2,3,1,0} at the papers shape) and XLA
+            # then relayouts the bits to the consumer's — two
+            # [b,h,n,dh]-sized u32 copies per layer (~41 ms/epoch at
+            # papers_gat3).  A 1-D draw is layout-free.
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.dropout, (x.size,)).reshape(x.shape)
+            return jnp.where(keep, x / (1.0 - self.dropout), 0.0)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
@@ -380,28 +451,42 @@ class GATConv(_ConvBase):
 
     @nn.compact
     def __call__(self, feat, adj_norm, adj_struct, node_mask, *, train: bool):
-        f = Act(self.act, dim_out=self.dim_out)
         h = self.mulhead
         dh = self.dim_out // h
         assert self.dim_out % h == 0
-        x = self._dropout(feat, train)
-        b, n, _ = x.shape
         import os as _os
         # Measured at the products/papers leaderboard shapes (BENCH.md
         # round 4, ms/step): headmajor 19.01/25.74 < hybrid 22.23/31.72
         # < flat 25.02/35.71.  'headmajor' keeps every activation in
         # the kernel's native [b, h, n, dh] layout from the transform
-        # einsum to the output combine — one repack per layer instead
-        # of per tensor — and is the default; 'hybrid' (4-D scores/norm
-        # + head-major kernel) serves as its fallback for pairnorm /
-        # per-channel prelu; 'flat' stays as an A/B arm.
+        # einsum to the output combine; with ``hm_chain`` (round 5) the
+        # residency extends ACROSS layers — the layer consumes and
+        # emits [b, h, n, dh], pairnorm/prelu+ run head-major
+        # (pairnorm_hm / Act.head_major), and the single flat
+        # conversion happens at ResPool.  'hybrid' (4-D scores/norm +
+        # head-major kernel) and 'flat' stay as A/B arms.
         _layout = _os.environ.get("SHADOW_GAT_LAYOUT", "headmajor")
-        use_hm = (self.fused_att and _layout == "headmajor"
-                  and self.act != "prelu+" and self.norm != "pairnorm")
+        use_hm = self.fused_att and _layout == "headmajor"
+        if not self.hm_chain:
+            # standalone (non-resident) call keeps the round-4 criterion:
+            # pairnorm / per-channel prelu fall back to the hybrid path
+            use_hm = (use_hm and self.act != "prelu+"
+                      and self.norm != "pairnorm")
+        f = Act(self.act, dim_out=self.dim_out,
+                head_major=h if use_hm else 0)
+        x = self._dropout(feat, train)
+        hm_in = x.ndim == 4                    # resident [b, h, n, dh] input
+        assert not hm_in or (use_hm and self.hm_chain)
+        if hm_in:
+            b, _, n, _ = x.shape
+        else:
+            b, n, _ = x.shape
         h_self_f = f(TorchLinear(self.dim_out,
-                                 head_major=h if use_hm else 0)(x))
+                                 head_major=h if use_hm else 0,
+                                 head_major_in=h if hm_in else 0)(x))
         h_neigh_f = f(TorchLinear(self.dim_out,
-                                  head_major=h if use_hm else 0)(x))
+                                  head_major=h if use_hm else 0,
+                                  head_major_in=h if hm_in else 0)(x))
         # attention params: [2, heads, dh] xavier-uniform (layers.py:557-558)
         att = self.param("attention", nn.initializers.glorot_uniform(),
                          (2, h, dh))
@@ -422,12 +507,17 @@ class GATConv(_ConvBase):
                 vals, adj_norm.astype(jnp.float32),
                 adj_struct.astype(jnp.float32), bf16, bf16).astype(x.dtype)
             h_self_hm = h_self_f
-            if self.norm != "none":
+            if self.norm == "pairnorm":
+                aggr = pairnorm_hm(aggr, node_mask)
+                h_self_hm = pairnorm_hm(h_self_hm, node_mask)
+            elif self.norm != "none":
                 aggr = norm_feat(aggr, scale[0][:, None, :],
                                  offset[0][:, None, :])
                 h_self_hm = norm_feat(h_self_hm, scale[1][:, None, :],
                                       offset[1][:, None, :])
             out = (h_self_hm + aggr) / 2.0
+            if self.hm_chain:
+                return out
             return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, -1)
         if self.fused_att and _layout in ("hybrid", "headmajor"):
             # hybrid: 4-D scores/norm like the dense branch, head-major

@@ -164,6 +164,13 @@ class DeepGNN(nn.Module):
             # conv stack with optional branch sharing (models.py:86-100)
             layer_cls = NAME2LAYER[cfg.aggr]
             share = cfg.branch_sharing and i > 0
+            # full head-major residency for the fused GAT (layers.py
+            # hm_chain): activations stay [b, h, n, dh] across the conv
+            # stack and the JK list; ResPool converts once
+            import os as _os
+            hm_chain = (cfg.aggr == "gat" and cfg.fused_gat
+                        and _os.environ.get("SHADOW_GAT_LAYOUT",
+                                            "headmajor") == "headmajor")
             x = feat
             xjk = []
             if not share:
@@ -172,11 +179,14 @@ class DeepGNN(nn.Module):
                     conv_defs.append(layer_cls(
                         dim_out=cfg.dim, dropout=cfg.dropout, act=cfg.act,
                         norm=cfg.layer_norm, mulhead=cfg.mulhead,
-                        fused_att=cfg.fused_gat,
+                        fused_att=cfg.fused_gat, hm_chain=hm_chain,
                         name=f"conv_{i}_{l}"))
             for conv in conv_defs:
                 x = conv(x, adj_norm, adj_struct, batch.node_mask, train=train)
-                x = x * batch.node_mask[..., None]
+                if x.ndim == 4:
+                    x = x * batch.node_mask[:, None, :, None]
+                else:
+                    x = x * batch.node_mask[..., None]
                 xjk.append(x)
             emb = ResPool(
                 dim_hid=cfg.dim, num_layers=cfg.num_layers,

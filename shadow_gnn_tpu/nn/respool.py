@@ -28,6 +28,28 @@ _POOL_FN = {"mean": masked_mean_pool, "max": masked_max_pool,
             "sum": masked_sum_pool}
 
 
+def _pool_any(tp: str, feat: jax.Array, node_mask: jax.Array) -> jax.Array:
+    """Masked mean/max/sum pool for flat [B, N, F] OR head-major
+    [B, H, N, dh] blocks.  The head-major variant reduces the node axis
+    in place and reshapes the tiny [B, H, dh] result to the flat
+    feature order — no [B, N, F] materialization (layers.py hm_chain)."""
+    if feat.ndim != 4:
+        return _POOL_FN[tp](feat, node_mask)
+    b, h, n, dh = feat.shape
+    m = node_mask[:, None, :, None]
+    if tp == "sum":
+        out = (feat * m).sum(2)
+    elif tp == "mean":
+        cnt = jnp.clip(node_mask.sum(-1).astype(feat.dtype), 1.0,
+                       None)[:, None, None]
+        out = (feat * m).sum(2) / cnt
+    else:
+        z = jnp.where(m, feat, -1e30)
+        out = z.max(2)
+        out = jnp.where(out <= -5e29, 0.0, out)
+    return out.reshape(b, h * dh)
+
+
 def f_residue(feats: Sequence[jax.Array], type_res: str) -> jax.Array:
     """JK-style residue combination (layers.py:120-130)."""
     if type_res in ("cat", "concat"):
@@ -50,8 +72,17 @@ class ResPool(nn.Module):
     prediction_task: str = "node"
 
     def _gather_targets(self, feat, targets):
-        # feat [B, N, F], targets [B, T] -> [B*T, F] flattened like the
-        # reference's row-indexed block-diagonal batch
+        """feat [B, N, F] or head-major [B, H, N, dh], targets [B, T] ->
+        [B*T, F] flattened like the reference's row-indexed
+        block-diagonal batch.  The head-major gather touches T rows per
+        subgraph and reshapes the tiny result — this is the ONE
+        hm->flat conversion of the resident GAT chain (layers.py
+        hm_chain), on [B*T, F] instead of L x [B, N, F]."""
+        if feat.ndim == 4:
+            b, h, n, dh = feat.shape
+            out = jnp.take_along_axis(feat, targets[:, None, :, None],
+                                      axis=2)             # [B, H, T, dh]
+            return jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, h * dh)
         out = jnp.take_along_axis(feat, targets[..., None], axis=1)
         return out.reshape(-1, feat.shape[-1])
 
@@ -80,22 +111,30 @@ class ResPool(nn.Module):
                     [self._gather_targets(f, targets) for f in feats_l], tr)
             feat_in = self._aggr_target_emb(feat_in)
         elif tp in ("mean", "max", "sum"):
-            pool = _POOL_FN[tp]
             if tr == "none":
-                feat_pool = pool(feats_l[-1], node_mask)
+                feat_pool = _pool_any(tp, feats_l[-1], node_mask)
                 feat_root = self._gather_targets(feats_l[-1], targets)
             else:
-                feat_pool = f_residue([pool(f, node_mask) for f in feats_l], tr)
+                feat_pool = f_residue(
+                    [_pool_any(tp, f, node_mask) for f in feats_l], tr)
                 feat_root = f_residue(
                     [self._gather_targets(f, targets) for f in feats_l], tr)
             feat_in = jnp.concatenate(
                 [self._aggr_target_emb(feat_root), feat_pool], axis=-1)
         elif tp == "sort":
+            # sort pooling ranks full per-node feature rows — the one
+            # readout that genuinely needs the flat layout
+            def to_flat(f):
+                if f.ndim != 4:
+                    return f
+                b, h, n, dh = f.shape
+                return jnp.transpose(f, (0, 2, 1, 3)).reshape(b, n, h * dh)
+
             if tr == "none":
-                feat_pool_in = feats_l[-1]
+                feat_pool_in = to_flat(feats_l[-1])
                 feat_root = self._gather_targets(feats_l[-1], targets)
             else:
-                feat_pool_in = f_residue(feats_l, tr)
+                feat_pool_in = f_residue([to_flat(f) for f in feats_l], tr)
                 feat_root = f_residue(
                     [self._gather_targets(f, targets) for f in feats_l], tr)
             pooled = masked_sort_pool(feat_pool_in, node_mask, self.sort_k)
