@@ -97,18 +97,25 @@ class DeviceGraph:
     num_nodes: int
     num_edges: int
     max_deg: int
+    row_block: int = 32
     meta: dict = field(default_factory=dict)
 
     # indices padding granularity: the row-slice induction reads
-    # neighbor lists as [*, ROW_BLOCK]-blocked row gathers (a TPU 2-D
+    # neighbor lists as [*, row_block]-blocked row gathers (a TPU 2-D
     # row gather costs ~15 ns per ROW regardless of width, vs ~10 ns
     # per ELEMENT for 1-D gathers — scripts/gather_microbench.py), so
     # indices is padded with the num_nodes sentinel to a block multiple
-    # and reshaped for free inside the jitted programs.
+    # and reshaped inside the jitted programs.  The blocked view tiles
+    # to 128 lanes physically, so a 32-wide block wastes 4x HBM when
+    # XLA materializes it: at papers100M scale (1.6e9 edges) that is a
+    # 25 GB allocation for a 6.3 GB array.  from_csr therefore switches
+    # to 128-wide blocks for huge graphs — zero lane padding, and ~4x
+    # fewer gather rows per member at large deg_cap.
     ROW_BLOCK = 32
 
     @classmethod
-    def from_csr(cls, indptr: np.ndarray, indices: np.ndarray, **meta):
+    def from_csr(cls, indptr: np.ndarray, indices: np.ndarray,
+                 row_block: int = 0, **meta):
         import jax.numpy as jnp
 
         n = indptr.size - 1
@@ -116,7 +123,11 @@ class DeviceGraph:
         deg = np.diff(indptr)
         max_deg = int(deg.max()) if n > 0 else 0
         ptr_dtype = np.int64 if e >= 2**31 else np.int32
-        pad = (-e) % cls.ROW_BLOCK
+        if row_block <= 0:
+            # lane-exact blocks once the 32-wide view's 4x lane padding
+            # would cost >= 3 GB of HBM (2**28 edges)
+            row_block = 128 if e >= 2**28 else cls.ROW_BLOCK
+        pad = (-e) % row_block
         idx = indices.astype(np.int32)
         if pad:
             idx = np.concatenate([idx, np.full(pad, n, np.int32)])
@@ -126,6 +137,7 @@ class DeviceGraph:
             num_nodes=n,
             num_edges=e,
             max_deg=max_deg,
+            row_block=row_block,
             meta=dict(meta),
         )
 
@@ -139,14 +151,15 @@ def _devicegraph_flatten(g: "DeviceGraph"):
     # registered as a pytree so graphs pass through jit as ARGUMENTS —
     # closure-captured buffers get serialized into compiled programs on
     # some backends (slow compiles / size limits)
-    return (g.indptr, g.indices), (g.num_nodes, g.num_edges, g.max_deg)
+    return (g.indptr, g.indices), (g.num_nodes, g.num_edges, g.max_deg,
+                                   g.row_block)
 
 
 def _devicegraph_unflatten(aux, children):
     indptr, indices = children
-    n, e, d = aux
+    n, e, d, wb = aux
     return DeviceGraph(indptr=indptr, indices=indices, num_nodes=n,
-                       num_edges=e, max_deg=d)
+                       num_edges=e, max_deg=d, row_block=wb)
 
 
 import jax as _jax

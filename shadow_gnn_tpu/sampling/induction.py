@@ -33,10 +33,14 @@ from shadow_gnn_tpu.sampling.batch import SamplerConfig, SubgraphBatch
 ROWS_GATHER_BUDGET = 2 * 1024**3
 
 
-def rows_gather_bytes(batch: int, n_pad: int, deg_cap: int) -> int:
+def rows_gather_bytes(batch: int, n_pad: int, deg_cap: int,
+                      row_block: int = 32) -> int:
     """HBM footprint of :func:`membership_matrix_rows`' block gather
-    (the ``nbr = blk[rows_idx]`` below, lane padding included)."""
-    r_blocks = (deg_cap - 1) // 32 + 2
+    (the ``nbr = blk[rows_idx]`` below, lane padding included: every
+    gathered row occupies a full 128-lane tile = 512 B regardless of
+    the block width, which is why 128-wide blocks need ~4x fewer rows
+    for the same deg_cap)."""
+    r_blocks = (deg_cap - 1) // row_block + 2
     return batch * n_pad * r_blocks * 512
 
 
@@ -57,7 +61,8 @@ def bucket_cap(n: int) -> int:
 
 
 def plan_ppr_induction(scope_deg, root_deg, *, n_pad: int, num_targets: int,
-                       batch_size: int, undirected: bool) -> dict:
+                       batch_size: int, undirected: bool,
+                       row_block: int = 32) -> dict:
     """Exact induction sizing for a deterministic (table-backed) scope.
 
     Scopes are subsets of the PPR table rows, so per-root candidate
@@ -81,7 +86,7 @@ def plan_ppr_induction(scope_deg, root_deg, *, n_pad: int, num_targets: int,
                       if d < scope_max} | {scope_max})
     gbatch = max(batch_size, 256)
     choices = [d for d in choices
-               if rows_gather_bytes(gbatch, n_pad, d)
+               if rows_gather_bytes(gbatch, n_pad, d, row_block)
                <= ROWS_GATHER_BUDGET] or [choices[0]]
     best = None
     for dc in choices:
@@ -92,7 +97,7 @@ def plan_ppr_induction(scope_deg, root_deg, *, n_pad: int, num_targets: int,
         # gather streams R*512 bytes/member at ~819 GB/s; each hub pair
         # costs a ~24-step binary search of ~100ns element gathers
         cost = n_pad * n_pad * dc / 2400 \
-            + rows_gather_bytes(1, n_pad, dc) / 819 \
+            + rows_gather_bytes(1, n_pad, dc, row_block) / 819 \
             + 2400 * (h_max * num_targets) ** 2
         if best is None or cost < best[0]:
             best = (cost, dc, h_max)
@@ -359,8 +364,8 @@ def membership_matrix_rows(graph: DeviceGraph, nodes: jax.Array,
     lo = jnp.where(row_valid, graph.indptr[u], 0)
     deg_full = jnp.where(row_valid, graph.indptr[u + 1] - lo, 0)
     small = deg_full <= deg_cap
-    wb = DeviceGraph.ROW_BLOCK
-    blk = graph.indices.reshape(-1, wb)                  # free: padded
+    wb = graph.row_block
+    blk = graph.indices.reshape(-1, wb)                  # padded to wb
     # blocks floor(lo/W) .. floor((lo+deg-1)/W): at most R per member
     r = (deg_cap - 1) // wb + 2
     r0 = (lo // wb).astype(jnp.int32)

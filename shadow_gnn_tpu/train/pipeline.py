@@ -350,8 +350,8 @@ class Trainer:
                     max_deg = float(deg.max()) if deg.size else 1.0
                     mean_deg = float(deg.mean()) if deg.size else 1.0
                     over_budget = rows_gather_bytes(
-                        max(self.batch_size, 256), n_pad,
-                        int(max_deg)) > ROWS_GATHER_BUDGET
+                        max(self.batch_size, 256), n_pad, int(max_deg),
+                        self.graph[m].row_block) > ROWS_GATHER_BUDGET
                     if self.undirected and (max_deg > 8 * mean_deg
                                             or over_budget):
                         # power-law graph: cap the per-member row width
@@ -439,7 +439,8 @@ class Trainer:
             cfg_fields = plan_ppr_induction(
                 scope_deg, root_deg, n_pad=cfg.n_pad,
                 num_targets=self.num_targets, batch_size=self.batch_size,
-                undirected=self.undirected)
+                undirected=self.undirected,
+                row_block=self.graph[mode].row_block)
             br["cfg"][mode] = _dc_mod.replace(br["cfg"][mode], **cfg_fields)
             tab = PPRTables(jnp.asarray(tab_n), jnp.asarray(tab_s))
             memo[memo_key] = (tab, cfg_fields)

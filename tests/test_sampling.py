@@ -640,3 +640,34 @@ def test_trainer_auto_device_ppr_native_at_scale(monkeypatch, tmp_path):
     assert calls["args"][2] == 16 << 30
     assert tr.use_device_ppr is False, (
         "auto heuristic must fall back to native push at 10M nodes/16GB")
+
+
+def test_rows_induction_row_block_128():
+    """Huge-graph block width: membership_matrix_rows over a graph
+    built with row_block=128 (the lane-exact view from_csr picks at
+    papers100M scale, where the 32-wide view's 4x lane padding is a
+    25 GB HBM allocation) must equal the exact pairwise search, with
+    and without the hub tier."""
+    from shadow_gnn_tpu.sampling.induction import membership_matrix_rows
+    indptr, indices = make_random_graph(800, 12.0, seed=9, power_law=True)
+    deg = np.diff(indptr)
+    g32 = DeviceGraph.from_csr(indptr, indices)
+    g128 = DeviceGraph.from_csr(indptr, indices, row_block=128)
+    assert g32.row_block == 32 and g128.row_block == 128
+    rng = np.random.default_rng(3)
+    nodes = np.full((3, 40), 800, np.int32)
+    for b in range(3):
+        p = (deg + 1.0) / (deg + 1.0).sum()
+        picks = np.sort(rng.choice(800, size=36, replace=False, p=p))
+        nodes[b, :picks.size] = picks
+    nj = jnp.asarray(nodes)
+    ref = np.asarray(membership_matrix(g32, nj))
+    ndeg = deg[np.minimum(nodes, 799)] * (nodes < 800)
+    adj, ovf = membership_matrix_rows(g128, nj, int(ndeg.max()), 0)
+    assert int(ovf) == 0
+    np.testing.assert_array_equal(ref, np.asarray(adj))
+    deg_cap = 16
+    h_max = int((ndeg > deg_cap).sum(1).max())
+    adj2, ovf2 = membership_matrix_rows(g128, nj, deg_cap, h_max + 1)
+    assert int(ovf2) == 0
+    np.testing.assert_array_equal(ref, np.asarray(adj2))
