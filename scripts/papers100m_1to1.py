@@ -183,7 +183,9 @@ def phase_ppr(n_targets):
     n_pad = default_n_pad({"method": "ppr", "k": K})
     plan = plan_ppr_induction(scope_deg, root_deg, n_pad=n_pad,
                               num_targets=1, batch_size=BATCH,
-                              undirected=True)
+                              undirected=True,
+                              row_block=128 if indices.size >= 2**28
+                              else 32)
     with open(os.path.join(WORK, "plan.json"), "w") as f:
         json.dump(plan, f)
     out = {
@@ -301,39 +303,85 @@ def phase_tpu(n_roots, epochs):
 
 
 def phase_refbins():
-    """Export the reference backend's raw-bin CSR layout
-    (adj_<full>_<indptr|indices|data>.bin, ParallelSampler.cpp:70-86:
-    int64 header = element count, then the payload words; data as f32)
-    so the unmodified C++ engine loads the same graph without pybind
-    vector copies."""
+    """Export the reference backend's raw-bin CSR layout (headerless
+    little-endian uint32, empty data file = all-ones weights —
+    ``ParallelSampler.cpp:70-86`` reads, our ``format.write_bin_csr``
+    writes the same contract the A/B harness already proves) so the
+    unmodified C++ engine loads the same 111M-node graph without pybind
+    vector copies.  indptr values fit uint32: 1.58e9 < 2^32."""
+    from shadow_gnn_tpu.data.format import write_bin_csr
+
     indptr, indices = _load_csr()
     d = os.path.join(WORK, "papers100M", "cpp")
-    os.makedirs(d, exist_ok=True)
     t0 = time.time()
-
-    def dump(name, arr, dtype):
-        path = os.path.join(d, name)
-        with open(path, "wb") as f:
-            np.int64(arr.size).tofile(f)
-            np.ascontiguousarray(arr, dtype=dtype).tofile(f)
-        return os.path.getsize(path)
-
-    total = dump("adj_full_und_indptr.bin", indptr, np.int64)
-    total += dump("adj_full_und_indices.bin", indices, np.uint32)
-    # edge weights: all-ones f32 (the reference discards values on
-    # undirected conversion, graph_utils.py:25-27)
-    path = os.path.join(d, "adj_full_und_data.bin")
-    with open(path, "wb") as f:
-        np.int64(indices.size).tofile(f)
-        one = np.ones(1 << 20, np.float32)
-        left = indices.size
-        while left > 0:
-            m = min(left, one.size)
-            one[:m].tofile(f)
-            left -= m
-    total += os.path.getsize(path)
+    write_bin_csr(d, "full", "undirected", np.asarray(indptr),
+                  np.asarray(indices))
+    total = sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
     out = {"phase": "refbins", "bytes": total,
            "write_s": round(time.time() - t0, 1), "dir": d}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def phase_refrun(roots_n, threads):
+    """The UNMODIFIED reference engine at the same 111M-node scale:
+    C++ bin-file direct load (its papers100M fast path, main.py:57-64:
+    adj=None + bin_adj_files), its own PPR preprocessing for
+    ``roots_n`` targets, then batched sampling+extraction epochs.
+    Sampling ONLY — no model — the comparator for phase tpu's
+    sample+induce arm."""
+    sys.path.insert(0, os.path.join(REPO, "scripts", "ref_shims"))
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import compat
+    compat.apply()
+    from graph_engine.frontend.samplers_ensemble import GraphSamplerEnsemble
+
+    d = os.path.join(WORK, "papers100M", "cpp")
+    bins = {k: os.path.join(d, f"adj_full_undirected_{k}.bin")
+            for k in ("indptr", "indices", "data")}
+    bins["data"] = ""                       # empty file = all-ones weights
+    assert os.path.isfile(bins["indptr"]), "run --phase refbins first"
+    targets = np.load(os.path.join(WORK, "targets.npy"))[:roots_n]
+    work_ppr = os.path.join(WORK, "refppr")
+    import shutil
+    shutil.rmtree(work_ppr, ignore_errors=True)
+    os.makedirs(os.path.join(work_ppr, "papers100M", "ppr_float"),
+                exist_ok=True)
+    cfg = {"size_root": 1, "fix_target": True,
+           "sequential_traversal": True,
+           "method": "ppr", "k": K, "epsilon": EPS, "threshold": THRESHOLD,
+           "type_": 0, "name_data": "papers100M",
+           "dir_data": {"local": work_ppr, "remote": [],
+                        "is_adj_changed": False},
+           "is_transductive": True,
+           "args_preproc": {"preproc_targets": targets,
+                            "duplicate_modes": None}}
+    t0 = time.time()
+    ens = GraphSamplerEnsemble(None, None, [cfg], [{"hops"}],
+                               max_num_threads=threads,
+                               num_subg_per_batch=500,
+                               bin_adj_files=bins, seed_cpp=42)
+    t_init = time.time() - t0
+    print(f"[refrun] engine init + PPR preproc ({targets.size} targets): "
+          f"{t_init:.0f}s = {targets.size / t_init:.0f} tgt/s incl. load",
+          file=sys.stderr, flush=True)
+    times = []
+    for e in range(3):
+        ens.shuffle_targets(targets.copy().astype(np.int64))
+        got = 0
+        t0 = time.time()
+        while got < targets.size:
+            out = ens.par_sample_ensemble("node")
+            got += len(out[0])
+        times.append(time.time() - t0)
+        print(f"[refrun] epoch {e}: {targets.size / times[-1]:.0f} subg/s",
+              file=sys.stderr, flush=True)
+    med = float(np.median(times))
+    out = {"phase": "refrun", "nodes": N_PAPERS, "targets": int(targets.size),
+           "threads": threads, "init_incl_ppr_s": round(t_init, 1),
+           "epoch_s_median": round(med, 2),
+           "subg_per_s": round(targets.size / med, 1),
+           "raw_epoch_s": [round(t, 2) for t in times]}
     print(json.dumps(out), flush=True)
     return out
 
@@ -341,13 +389,14 @@ def phase_refbins():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["gen", "ppr", "tpu", "refbins"])
+                    choices=["gen", "ppr", "tpu", "refbins", "refrun"])
     ap.add_argument("--nodes", type=int, default=N_PAPERS)
     ap.add_argument("--pairs", type=int, default=E_PAIRS)
     ap.add_argument("--targets", type=int, default=N_TRAIN_TARGETS)
     ap.add_argument("--roots", type=int, default=0,
                     help="roots per measured epoch (0 = the full target set)")
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--threads", type=int, default=4)
     args = ap.parse_args()
     if args.phase == "gen":
         phase_gen(args.nodes, args.pairs)
@@ -355,6 +404,8 @@ def main():
         phase_ppr(args.targets)
     elif args.phase == "refbins":
         phase_refbins()
+    elif args.phase == "refrun":
+        phase_refrun(args.roots or 65536, args.threads)
     else:
         phase_tpu(args.roots, args.epochs)
 

@@ -83,11 +83,16 @@ def write_bin_csr(dir_cpp: str, split_: str, type_: str,
     reads): flat little-endian uint32 arrays, no header.
     """
     os.makedirs(dir_cpp, exist_ok=True)
-    tag = {"undirected": "und", "raw": "raw"}[type_]
-    indptr.astype(np.uint32).tofile(f"{dir_cpp}/adj_{split_}_{tag}_indptr.bin")
-    indices.astype(np.uint32).tofile(f"{dir_cpp}/adj_{split_}_{tag}_indices.bin")
+    assert type_ in ("undirected", "raw")
+    # file tag is the type_ verbatim — the reference writes and loads
+    # adj_<split>_undirected_<d>.bin (data_converter.py:464-468,
+    # loader.py:66-80); an abbreviated tag would not be discovered
+    indptr.astype(np.uint32).tofile(
+        f"{dir_cpp}/adj_{split_}_{type_}_indptr.bin")
+    indices.astype(np.uint32).tofile(
+        f"{dir_cpp}/adj_{split_}_{type_}_indices.bin")
     # empty data file = "all ones" (validate_bin_file maps missing data to '')
-    open(f"{dir_cpp}/adj_{split_}_{tag}_data.bin", "wb").close()
+    open(f"{dir_cpp}/adj_{split_}_{type_}_data.bin", "wb").close()
 
 
 def save_shadow_format(prefix: str, name: str, *, indptr, indices, feat, label,
