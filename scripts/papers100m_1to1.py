@@ -243,12 +243,21 @@ def phase_tpu(n_roots, epochs):
 
     if n_roots <= 0 or n_roots > targets.size:
         n_roots = targets.size
-    nb = n_roots // BATCH
+    # ONE compiled program = a 1024-batch scan; the full 1.2M-root
+    # epoch iterates it over chunks (the production Trainer dispatches
+    # chunked epochs too, pipeline chunk_batches).  A single
+    # 18,862-step scan program reproducibly crashes the tunnel's TPU
+    # worker during compilation at this operand scale.
+    chunk_nb = min(1024, n_roots // BATCH)
+    nb = (n_roots // (BATCH * chunk_nb)) * chunk_nb
+    n_chunks = nb // chunk_nb
     rng_np = np.random.default_rng(11)
     perm = rng_np.permutation(targets.size)[:nb * BATCH]
-    # [nb, B, T=1]: sample_nodes_ppr/induce take [B, T] roots per step
-    roots = jnp.asarray(targets[perm].reshape(nb, BATCH, 1).astype(np.int32))
-    rows = jnp.asarray(perm.reshape(nb, BATCH, 1).astype(np.int32))
+    # [n_chunks, chunk_nb, B, T=1]: sample_nodes_ppr/induce take [B, T]
+    roots = jnp.asarray(targets[perm].reshape(n_chunks, chunk_nb, BATCH, 1)
+                        .astype(np.int32))
+    rows = jnp.asarray(perm.reshape(n_chunks, chunk_nb, BATCH, 1)
+                       .astype(np.int32))
 
     def body(stage, gr, tabs, carry, xs):
         rng = carry
@@ -277,18 +286,26 @@ def phase_tpu(n_roots, epochs):
         "hbm_resident_gb": round(hbm_bytes / 1e9, 2),
     }
     rng = jax.random.PRNGKey(0)
+
+    def run_epoch(ep):
+        t1 = time.time()
+        acc = 0.0
+        for c in range(n_chunks):
+            _, o = ep(rng, roots[c], rows[c], graph, tabs)
+            acc += float(o[0].sum())
+        return time.time() - t1
+
     for stage in ("sample", "induce"):
         ep = mk(stage)
         t0 = time.time()
-        _, o = ep(rng, roots, rows, graph, tabs)
+        _, o = ep(rng, roots[0], rows[0], graph, tabs)
         _ = float(o[0].sum())
         t_compile = time.time() - t0
         times = []
         for _ in range(epochs):
-            t1 = time.time()
-            _, o = ep(rng, roots, rows, graph, tabs)
-            _ = float(o[0].sum())
-            times.append(time.time() - t1)
+            times.append(run_epoch(ep))
+            print(f"[tpu] {stage} epoch: {times[-1]:.1f}s",
+                  file=sys.stderr, flush=True)
         t_med = float(np.median(times))
         spread = (max(times) - min(times)) / t_med if len(times) > 1 else 0.0
         out[f"{stage}_epoch_s"] = round(t_med, 2)

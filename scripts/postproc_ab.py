@@ -231,7 +231,16 @@ def main():
                     choices=["all", "data", "ref", "ours", "compare"])
     ap.add_argument("--nodes", type=int, default=20000)
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--platform", default="cpu",
+                    help="backend for OUR side ('default' = session TPU)")
     args = ap.parse_args()
+    if args.platform != "default":
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.stage in ("all", "data"):
         stage_data(args.nodes, args.epochs)
     if args.stage in ("all", "ref"):
