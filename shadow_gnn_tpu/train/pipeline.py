@@ -290,6 +290,13 @@ class Trainer:
         # TRAIN-mode, 3 of the 4 programs per run) into ONE shared
         # program; see scripts/compile_bench.py for the measurement.
         self.chunk_batches = 16
+        # TRAIN epochs longer than this many batches dispatch as
+        # sequential fixed-size scan programs (huge-epoch splits, e.g.
+        # papers100M's 1.2M train targets): single scan programs beyond
+        # ~1k steps crash this backend's TPU worker (measured round 5,
+        # scripts/papers100m_1to1.py)
+        self.max_scan_batches = int(os.environ.get(
+            "SHADOW_MAX_SCAN_BATCHES", "1024"))
         # --trace_dir: jax.profiler device trace of train epoch 1 (the
         # first post-compile epoch) — the TPU-native replacement for the
         # reference's absent timeline tracer (SURVEY §5.1)
@@ -1135,6 +1142,32 @@ class Trainer:
         elif self.chunk_batches > 0 and not train:
             losses, preds, ovf = self._run_chunks(
                 mode, train, nb, roots, rows, labels_dev, w_dev, rng)
+        elif train and nb > self.max_scan_batches:
+            # huge-epoch TRAIN (papers100M-class split sizes): one scan
+            # program over ALL nb batches reproducibly crashes this
+            # backend's TPU worker beyond ~1k steps, so the epoch runs
+            # as sequential dispatches of a fixed-size scan program
+            # (plus one remainder-size program) with params threaded
+            # through — identical semantics, ~7 ms dispatch per chunk
+            arrays = self._mode_arrays(mode)
+            cap = self.max_scan_batches
+            losses_l, preds_l, ovf = [], [], 0
+            for lo in range(0, nb, cap):
+                c = min(cap, nb - lo)
+                key = (mode, c, train)
+                if key not in self._epoch_fns:
+                    self._epoch_fns[key] = self._make_epoch_fn(mode, c, train)
+                rng, sub = jax.random.split(rng)
+                (self.params, self.opt_state, l_c, p_c,
+                 o_c) = self._epoch_fns[key](
+                    self.params, self.opt_state, sub,
+                    roots[lo:lo + c], rows[lo:lo + c],
+                    labels_dev[lo:lo + c], w_dev[lo:lo + c], arrays)
+                losses_l.append(np.asarray(l_c))
+                preds_l.append(np.asarray(p_c))
+                ovf += int(o_c)
+            losses = np.concatenate(losses_l)
+            preds = np.concatenate(preds_l)
         else:
             key = (mode, nb, train)
             if key not in self._epoch_fns:

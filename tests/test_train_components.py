@@ -452,3 +452,39 @@ def test_fused_gat_auto_default(monkeypatch, tmp_path):
     assert mk("tpu", None) is True
     assert mk("cpu", None) is False
     assert mk("tpu", False) is False
+
+
+def test_huge_epoch_chunked_train(tmp_path, monkeypatch):
+    """TRAIN epochs beyond max_scan_batches dispatch as sequential
+    fixed-size scan programs + a remainder program (papers100M-class
+    split sizes; single huge scans crash the axon TPU worker).  The
+    chunked path must thread params through and still learn."""
+    monkeypatch.setenv("SHADOW_MAX_SCAN_BATCHES", "3")
+    import numpy as np
+    from shadow_gnn_tpu import TEST
+    from shadow_gnn_tpu.data.synthetic import make_synthetic_dataset
+    from shadow_gnn_tpu.train.config import parse_config
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu.train.pipeline import Trainer
+
+    g = make_synthetic_dataset(num_nodes=1200, avg_deg=8, num_feat=16,
+                               num_classes=5, seed=0)
+    cfg = {
+        "data": {"transductive": True},
+        "architecture": {"dim": 32, "aggr": "sage", "loss": "softmax",
+                         "num_layers": 2, "act": "relu",
+                         "feature_augment": "hops", "residue": "none",
+                         "pooling": "center"},
+        "hyperparameter": {"end": 3, "lr": 1e-2, "dropout": 0.1,
+                           "dropedge": 0.0, "batch_size": 64},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [16],
+                     "epsilon": [1e-4]}],
+    }
+    m = Metrics("toy", False, "accuracy", 1)
+    tr = Trainer("toy", "", g, parse_config(cfg), m,
+                 Logger(m, str(tmp_path), no_log=True), seed=0)
+    assert tr.max_scan_batches == 3
+    # 720 train roots / batch 64 = 12 batches -> chunks of 3 (+ none)
+    tr.train()
+    assert tr.logger.final_stats[TEST]["accuracy"] > 0.8
