@@ -340,6 +340,94 @@ def phase_refbins():
     return out
 
 
+def phase_train(n_roots, epochs, feat_dim=8):
+    """FULL TRAINING at 1:1 scale through the PRODUCTION Trainer:
+    the leaderboard architecture (GAT-3 dim 800 heads 4, prelu,
+    residue max / max pooling, hops aug, dropout 0.35 dropedge 0.1,
+    batch 64, PPR k=400 threshold 0.002) over the 111M-node /
+    1.58B-edge CSR on ONE chip — sample + induce + forward + backward
+    + Adam every step (the cache exceeds budget at this scale, so the
+    cold path runs, like the verbatim CLI run).  Features are
+    synthetic ``feat_dim``-dim bf16 (the real 128-dim table is 28 GB
+    bf16 — the edge-partitioned path's ledger covers that); the PPR
+    bin cache written by --phase ppr is discovered and read back
+    instead of recomputed."""
+    import jax
+    from shadow_gnn_tpu import TRAIN
+    from shadow_gnn_tpu.data.graph import RawGraph
+    from shadow_gnn_tpu.train.config import parse_config
+    from shadow_gnn_tpu.train.logger import Logger
+    from shadow_gnn_tpu.train.metrics import Metrics
+    from shadow_gnn_tpu.train.pipeline import Trainer
+
+    indptr, indices = _load_csr()
+    n = indptr.size - 1
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    targets = np.load(os.path.join(WORK, "targets.npy"))
+    rng = np.random.default_rng(5)
+    feat = np.empty((n, feat_dim), np.float32)
+    comm = rng.integers(0, 16, size=n).astype(np.int32)
+    centers = rng.normal(size=(16, feat_dim)).astype(np.float32)
+    chunk = 10_000_000
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        feat[lo:hi] = (centers[comm[lo:hi]]
+                       + rng.normal(size=(hi - lo, feat_dim))
+                       .astype(np.float32))
+    label = (comm % 8).astype(np.int64)
+    tr_t = targets[:n_roots]
+    rest = targets[n_roots:]
+    raw = RawGraph(indptr_full=indptr, indices_full=indices,
+                   indptr_train=None, indices_train=None,
+                   feat_full=feat, label_full=label,
+                   node_set={TRAIN: tr_t, 1: rest[:1024], 2: rest[1024:2048]},
+                   edge_set=None)
+    cfg = {
+        "data": {"transductive": True, "norm_feat": False},
+        "architecture": {
+            "dim": 800, "aggr": "gat", "heads": 4, "loss": "softmax",
+            "num_layers": 3, "act": "prelu", "feature_augment": "hops",
+            "residue": "max", "pooling": "max",
+        },
+        "hyperparameter": {"end": epochs, "lr": 2e-4, "dropout": 0.35,
+                           "dropedge": 0.1, "batch_size": BATCH},
+        "sampler": [{"method": "ppr", "phase": "train", "k": [K],
+                     "threshold": [THRESHOLD], "epsilon": [EPS]}],
+    }
+    metrics = Metrics("papers100M", False, "accuracy", 1)
+    t0 = time.time()
+    tr = Trainer("papers100M", WORK, raw, parse_config(cfg), metrics,
+                 Logger(metrics, "/tmp/papers1to1_train", no_log=True),
+                 seed=0, feat_dtype="bfloat16", prng_impl="rbg",
+                 matmul_precision="bfloat16")
+    tr._ensure_tables(TRAIN)
+    t_init = time.time() - t0
+    print(f"[train] Trainer + tables ready in {t_init:.0f}s",
+          file=sys.stderr, flush=True)
+    times = []
+    for e in range(epochs):
+        t1 = time.time()
+        tr.run_epoch(e, TRAIN)
+        times.append(time.time() - t1)
+        print(f"[train] epoch {e}: {times[-1]:.1f}s = "
+              f"{n_roots / times[-1]:.0f} subg/s", file=sys.stderr,
+              flush=True)
+    sustained = times[1:] or times
+    med = float(np.median(sustained))
+    out = {"phase": "train", "nodes": int(n),
+           "stored_edges": int(indices.size),
+           "arch": "gat3_dim800_h4 (leaderboard)", "batch": BATCH,
+           "roots_per_epoch": int(n_roots), "feat_dim": feat_dim,
+           "init_s": round(t_init, 1),
+           "first_epoch_incl_compile_s": round(times[0], 1),
+           "epoch_s_median": round(med, 2),
+           "train_subg_per_s": round(n_roots / med, 1),
+           "raw_epoch_s": [round(t, 1) for t in times]}
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def phase_refrun(roots_n, threads):
     """The UNMODIFIED reference engine at the same 111M-node scale:
     C++ bin-file direct load (its papers100M fast path, main.py:57-64:
@@ -406,7 +494,8 @@ def phase_refrun(roots_n, threads):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["gen", "ppr", "tpu", "refbins", "refrun"])
+                    choices=["gen", "ppr", "tpu", "refbins", "refrun",
+                             "train"])
     ap.add_argument("--nodes", type=int, default=N_PAPERS)
     ap.add_argument("--pairs", type=int, default=E_PAIRS)
     ap.add_argument("--targets", type=int, default=N_TRAIN_TARGETS)
@@ -423,6 +512,8 @@ def main():
         phase_refbins()
     elif args.phase == "refrun":
         phase_refrun(args.roots or 65536, args.threads)
+    elif args.phase == "train":
+        phase_train(args.roots or 65536, args.epochs)
     else:
         phase_tpu(args.roots, args.epochs)
 
